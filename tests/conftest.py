@@ -1,0 +1,22 @@
+"""Test harness configuration.
+
+Forces JAX onto a virtual 8-device CPU mesh (SURVEY.md §4: multi-device tests
+run on CPU via --xla_force_host_platform_device_count) so the full pjit /
+shard_map surface is exercised without TPU hardware. Must run before the first
+`import jax` anywhere in the test session.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,64 @@
+import textwrap
+import warnings
+
+import pytest
+
+from text_guided_face_recognition_tpu.config import TGFRConfig, load_yaml
+
+
+def test_defaults_match_reference_train_bert():
+    cfg = TGFRConfig()
+    assert cfg.aux_feat_dim_per_granularity == 256
+    assert cfg.bert_words_num == 24
+    assert cfg.num_classes == 4500
+    assert cfg.TRAIN.SMOOTH.GAMMA1 == 4.0
+    assert cfg.TRAIN.SMOOTH.GAMMA2 == 5.0
+    assert cfg.TRAIN.SMOOTH.GAMMA3 == 10.0
+    assert cfg.fusion_final_dim == 640
+
+
+def test_yaml_roundtrip(tmp_path):
+    p = tmp_path / "cfg.yml"
+    p.write_text(textwrap.dedent(
+        """
+        batch_size: 64
+        en_type: LSTM
+        lstm_words_num: 18
+        TRAIN:
+            FLAG: True
+            SMOOTH:
+                GAMMA1: 4.0
+                GAMMA2: 5.0
+                GAMMA3: 10.0
+        custom_extra_knob: 7
+        """
+    ))
+    cfg = load_yaml(str(p))
+    assert cfg.batch_size == 64
+    assert cfg.en_type == "LSTM"
+    assert cfg.custom_extra_knob == 7  # extras stay attribute-accessible
+
+
+def test_malformed_float_coerced_with_warning(tmp_path):
+    # reference cfg/train_bert.yml:35 ships `min_lr_bert: 0.00002)` — a string
+    # that crashes torch Adam in the reference; we coerce with a warning.
+    p = tmp_path / "cfg.yml"
+    p.write_text("min_lr_bert: 0.00002)\n")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg = load_yaml(str(p))
+    assert cfg.min_lr_bert == pytest.approx(2e-5)
+    assert any("min_lr_bert" in str(x.message) for x in w)
+
+
+def test_bad_type_fails_fast(tmp_path):
+    p = tmp_path / "cfg.yml"
+    p.write_text("batch_size: not_a_number\n")
+    with pytest.raises(TypeError, match="batch_size"):
+        load_yaml(str(p))
+
+
+def test_reference_cfg_files_load():
+    for name in ("train_bert", "train_lstm", "fusion_bert", "fusion_lstm", "test"):
+        cfg = load_yaml(f"cfg/{name}.yml")
+        assert cfg.num_classes == 4500
