@@ -8,10 +8,20 @@ shard_map surface is exercised without TPU hardware. Must run before the first
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the machine env pins JAX_PLATFORMS=axon (remote TPU tunnel)
+# and a sitecustomize hook imports jax at interpreter startup, so env vars set
+# here are too late — go through jax.config instead.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.device_count() == 8, (
+    "expected the 8-device virtual CPU mesh; XLA_FLAGS was applied too late"
+)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

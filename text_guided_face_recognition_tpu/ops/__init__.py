@@ -1,0 +1,23 @@
+from text_guided_face_recognition_tpu.ops.attention import (  # noqa: F401
+    func_attention,
+    damsm_similarity,
+)
+from text_guided_face_recognition_tpu.ops.losses import (  # noqa: F401
+    clip_loss,
+    clip_soft_loss,
+    cmpc_loss,
+    cmpm_loss,
+    cosine_similarity,
+    focal_loss,
+    global_loss,
+    kl_loss,
+    sent_loss,
+    words_loss,
+)
+from text_guided_face_recognition_tpu.ops.margins import (  # noqa: F401
+    add_margin_logits,
+    arc_margin_logits,
+    adaface_logits,
+    mag_margin_logits,
+    sphere_margin_logits,
+)
