@@ -1,0 +1,245 @@
+"""Transformer text encoders + FCAM text head, flax-native.
+
+The reference wraps HuggingFace *torch* text models selected by
+`args.bert_type` in {bert, align, clip, blip, falva(sic), groupvit}
+(reference: models/models.py:123-167) and always reads
+`sent = last_hidden[:, 0]`, `words = last_hidden[:, 1:]`.
+
+Here the encoder is implemented natively in flax as one configurable
+transformer (`TransformerEncoder`) instantiated from a per-`bert_type`
+architecture table matching the corresponding HF checkpoints (hidden sizes the
+reference comments document: 768 for bert-family, 512 for clip, 256 for
+groupvit). Pretrained HF torch weights, when present on disk, are converted by
+engine/convert.py; otherwise encoders initialize randomly (this machine has no
+network egress).
+
+`TextHeading` (reference: models/models.py:170-232) maps per-token features to
+the shared 256-d space via three token-window projections (K in {2,3,4}) — the
+reference's Conv2d(1, 256, (K, 768)) stack — expressed as window-stacked GEMMs,
+and re-assembles per-word features with a *vectorized* multi-scale max (the
+reference loops over batch and sequence in Python with a hard-coded CUDA
+tensor: models/models.py:197-213).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from text_guided_face_recognition_tpu.models.layers import l2_normalize
+
+Dtype = Any
+
+__all__ = ["TextArch", "TEXT_ARCHS", "TransformerEncoder", "TextEncoder",
+           "BertWordMapping", "TextHeading"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TextArch:
+    vocab_size: int
+    hidden: int
+    layers: int
+    heads: int
+    intermediate: int
+    max_positions: int
+    style: str = "postln"      # "postln" (BERT) | "preln" (CLIP)
+    causal: bool = False
+    act: str = "gelu"          # "gelu" | "quick_gelu"
+    type_vocab: int = 2        # 0 disables token-type embeddings
+
+
+# Architecture table mirroring the HF checkpoints named in cfg/train_bert.yml:60-67.
+TEXT_ARCHS = {
+    "bert": TextArch(30522, 768, 12, 12, 3072, 512),
+    "align": TextArch(30522, 768, 12, 12, 3072, 512),      # align-base text = BERT-base
+    "blip": TextArch(30524, 768, 12, 12, 3072, 512),
+    "falva": TextArch(30522, 768, 12, 12, 3072, 512),      # (sic) reference key
+    "clip": TextArch(49408, 512, 12, 8, 2048, 77, style="preln", causal=True,
+                     act="quick_gelu", type_vocab=0),
+    "groupvit": TextArch(49408, 256, 12, 4, 1024, 77, style="preln", causal=True,
+                         act="quick_gelu", type_vocab=0),
+}
+
+
+def _act(name: str):
+    if name == "quick_gelu":
+        return lambda x: x * nn.sigmoid(1.702 * x)
+    return lambda x: nn.gelu(x, approximate=False)
+
+
+class _SelfAttention(nn.Module):
+    arch: TextArch
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        a = self.arch
+        d_head = a.hidden // a.heads
+        b, t, _ = x.shape
+        q = nn.Dense(a.hidden, dtype=self.dtype, name="query")(x)
+        k = nn.Dense(a.hidden, dtype=self.dtype, name="key")(x)
+        v = nn.Dense(a.hidden, dtype=self.dtype, name="value")(x)
+        q = q.reshape(b, t, a.heads, d_head)
+        k = k.reshape(b, t, a.heads, d_head)
+        v = v.reshape(b, t, a.heads, d_head)
+        score = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                           preferred_element_type=jnp.float32)
+        score = score / jnp.sqrt(jnp.float32(d_head))
+        neg = jnp.finfo(jnp.float32).min
+        att_mask = mask[:, None, None, :]  # (B, 1, 1, T) keys
+        if a.causal:
+            causal = jnp.tril(jnp.ones((t, t), bool))
+            score = jnp.where(causal[None, None], score, neg)
+        score = jnp.where(att_mask, score, neg)
+        probs = nn.softmax(score, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        out = out.reshape(b, t, a.hidden)
+        return nn.Dense(a.hidden, dtype=self.dtype, name="out")(out)
+
+
+class _Block(nn.Module):
+    arch: TextArch
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        a = self.arch
+        act = _act(a.act)
+        if a.style == "postln":
+            h = _SelfAttention(a, self.dtype, name="attn")(x, mask)
+            x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
+                             name="attn_ln")(x + h)
+            h = nn.Dense(a.intermediate, dtype=self.dtype, name="ffn_in")(x)
+            h = act(h)
+            h = nn.Dense(a.hidden, dtype=self.dtype, name="ffn_out")(h)
+            x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
+                             name="ffn_ln")(x + h)
+        else:  # preln (CLIP-style)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="attn_ln")(x)
+            x = x + _SelfAttention(a, self.dtype, name="attn")(h, mask)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ffn_ln")(x)
+            h = nn.Dense(a.intermediate, dtype=self.dtype, name="ffn_in")(h)
+            h = act(h)
+            x = x + nn.Dense(a.hidden, dtype=self.dtype, name="ffn_out")(h)
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    """Configurable BERT/CLIP-style text transformer; returns last hidden
+    states (B, T, hidden)."""
+
+    arch: TextArch
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        a = self.arch
+        b, t = input_ids.shape
+        x = nn.Embed(a.vocab_size, a.hidden, dtype=self.dtype,
+                     name="tok_emb")(input_ids)
+        pos = jnp.arange(t)[None, :]
+        x = x + nn.Embed(a.max_positions, a.hidden, dtype=self.dtype,
+                         name="pos_emb")(pos)
+        if a.type_vocab:
+            x = x + nn.Embed(a.type_vocab, a.hidden, dtype=self.dtype,
+                             name="type_emb")(jnp.zeros_like(input_ids))
+        if a.style == "postln":
+            x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="emb_ln")(x)
+        mask = attention_mask.astype(bool)
+        for i in range(a.layers):
+            x = _Block(a, self.dtype, name=f"layer_{i}")(x, mask)
+        if a.style == "preln":
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_ln")(x)
+        return x
+
+
+class TextEncoder(nn.Module):
+    """bert_type-switched encoder with the reference's output contract
+    (reference: models/models.py:144-167): returns
+    (words_emb = hidden[:, 1:, :], sent_emb = hidden[:, 0, :])."""
+
+    bert_type: str = "bert"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, captions: jnp.ndarray, mask: jnp.ndarray,
+                 deterministic: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        arch = TEXT_ARCHS[self.bert_type]
+        hidden = TransformerEncoder(arch, self.dtype, name="model")(
+            captions, mask, deterministic)
+        sent_emb = hidden[:, 0, :]
+        words_emb = hidden[:, 1:, :]
+        return words_emb, sent_emb
+
+
+class BertWordMapping(nn.Module):
+    """Three token-window projections K in {2,3,4} with ReLU
+    (reference: models/models.py:170-184 `Bert_Word_Mapping`).
+
+    Conv2d(1, F, (K, E)) over the (tokens x E) map fully contracts the
+    embedding axis — i.e. a dense layer over K stacked tokens. Expressed here
+    as window-stacking + one GEMM per scale (MXU-shaped, no 1-channel convs).
+
+    Input: (B, T, E) token features; output: list of (B, T-K+1, F).
+    """
+
+    feat_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, words_emb: jnp.ndarray):
+        outs = []
+        for ki, K in enumerate((2, 3, 4)):
+            t = words_emb.shape[1] - K + 1
+            win = jnp.concatenate(
+                [words_emb[:, i:i + t, :] for i in range(K)], axis=-1)
+            y = nn.Dense(self.feat_dim, dtype=self.dtype,
+                         name=f"conv_k{K}")(win)
+            outs.append(nn.relu(y))
+        return outs
+
+
+class TextHeading(nn.Module):
+    """FCAM text head (reference: models/models.py:187-232).
+
+    __call__(words_emb (B, T-1, E)) -> (words (B, F, T-2), sent (B, F)):
+      * per-word features: element-wise max across the three window scales,
+        with scale k available only where the window fits — vectorized via
+        -inf padding instead of the reference's per-(batch, position) loop
+        (models/models.py:197-213)
+      * sentence feature: per-scale max-pool over time, averaged across
+        scales (models/models.py:216-220)
+    """
+
+    feat_dim: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, words_emb: jnp.ndarray,
+                 sent_emb: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        a, b, c = BertWordMapping(self.feat_dim, self.dtype,
+                                  name="bwm")(words_emb)
+        t_out = a.shape[1]  # = T_in - 1 = bert_words_num - 2
+
+        neg = jnp.finfo(jnp.float32).min
+
+        def pad_to(x):
+            d = t_out - x.shape[1]
+            if d == 0:
+                return x.astype(jnp.float32)
+            return jnp.pad(x.astype(jnp.float32), ((0, 0), (0, d), (0, 0)),
+                           constant_values=neg)
+
+        words = jnp.maximum(jnp.maximum(pad_to(a), pad_to(b)), pad_to(c))
+        words = l2_normalize(words, axis=-1)            # (B, T_out, F)
+        words = jnp.swapaxes(words, 1, 2)               # (B, F, T_out)
+
+        sent = (jnp.max(a, axis=1) + jnp.max(b, axis=1) + jnp.max(c, axis=1)) / 3.0
+        sent = l2_normalize(sent.astype(jnp.float32), axis=-1)
+        return words.astype(jnp.float32), sent
