@@ -1,0 +1,122 @@
+import os
+
+import numpy as np
+import pytest
+
+from text_guided_face_recognition_tpu.config import TGFRConfig
+from text_guided_face_recognition_tpu.data import (
+    DataLoader,
+    LstmTokenizer,
+    TestDataset,
+    TrainDataset,
+    build_dictionary,
+)
+from text_guided_face_recognition_tpu.data import transforms as T
+from text_guided_face_recognition_tpu.data.tokenizers import HashTokenizer
+
+
+def test_lstm_tokenizer_matches_reference_behavior():
+    tok = LstmTokenizer()
+    assert tok.tokenize("The woman has, BIG eyes!") == \
+        ["the", "woman", "has", "big", "eyes"]
+    # non-ascii stripped per token (reference: dataset_utils.py:164-168)
+    assert tok.tokenize("café nose") == ["caf", "nose"]
+
+
+def test_build_dictionary_end_token_zero():
+    caps = [[["a", "b"], ["b", "c"]]]
+    (enc,), vocab = build_dictionary(*caps)
+    assert vocab.wordtoix["<end>"] == 0
+    assert enc[0] == [1, 2] and enc[1] == [2, 3]
+    assert vocab.n_words == 4
+
+
+def test_hash_tokenizer_contract():
+    ht = HashTokenizer(30522)
+    ids, mask = ht("a man with short hair", 24)
+    assert ids.shape == (24,) and mask.shape == (24,)
+    assert ids[0] == 101 and mask.sum() == 7  # cls + 5 words + sep
+    ids2, _ = ht("a man with short hair", 24)
+    np.testing.assert_array_equal(ids, ids2)  # deterministic
+
+
+def test_transforms_ranges():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (112, 112, 3), dtype=np.uint8)
+    out = T.eval_transform(img)
+    assert out.dtype == np.float32 and out.shape == (112, 112, 3)
+    assert out.min() >= -1.0 and out.max() <= 1.0
+    # adaface BGR permute
+    bgr = T.eval_transform(img, model_type="adaface")
+    np.testing.assert_allclose(bgr[..., 0], out[..., 2])
+    # grayscale branch forces all channels equal
+    tr = T.train_transform(img, np.random.default_rng(3))  # p=0.2 path varies
+    assert tr.shape == (112, 112, 3)
+
+
+def _mk_args(tmp_path, en_type="LSTM"):
+    return TGFRConfig().replace(
+        data_dir=str(tmp_path), en_type=en_type, img_size=112,
+        captions_per_image=2, lstm_words_num=6, bert_words_num=8,
+        num_classes=10)
+
+
+def test_train_dataset_lstm_synthetic(tmp_path):
+    args = _mk_args(tmp_path)
+    names = [f"id{i}_0" for i in range(8)]
+    caps = [[1 + (i % 5), 2, 3] for i in range(len(names) * 2)]
+    ds = TrainDataset(names, caps, args=args, synthetic=True)
+    s = ds[3]
+    assert s["img"].shape == (112, 112, 3)
+    assert s["caps"].shape == (6,) and s["cap_len"] == 3
+    assert 0 <= s["cls_id"] < 10
+
+
+def test_train_dataset_bert_index_fix(tmp_path):
+    args = _mk_args(tmp_path, "BERT")
+    names = ["a_0", "b_0"]
+    # captions laid out [img0_cap0, img0_cap1, img1_cap0, img1_cap1]
+    caps = [np.full(8, i, np.int32) for i in range(4)]
+    masks = [np.ones(8, np.int32) for _ in range(4)]
+    ds = TrainDataset(names, caps, masks, args=args, synthetic=True, seed=0)
+    # fixed behavior: image 1's caption ids must come from {2, 3}
+    vals = {int(ds[1]["caps"][0]) for _ in range(10)}
+    assert vals <= {2, 3}
+    # compat flag reproduces the reference bug ({0, 1} regardless of index)
+    args_bug = args.replace(compat_bert_caption_bug=True)
+    ds_bug = TrainDataset(names, caps, masks, args=args_bug, synthetic=True)
+    vals = {int(ds_bug[1]["caps"][0]) for _ in range(10)}
+    assert vals <= {0, 1}
+
+
+def test_test_dataset_synthetic_pairs_and_loader(tmp_path):
+    args = _mk_args(tmp_path)
+    names = [f"id{i}_0" for i in range(8)]
+    caps = [[1, 2, 3, 4] for _ in range(len(names) * 2)]
+    from text_guided_face_recognition_tpu.data.tokenizers import Vocabulary
+    vocab = Vocabulary()
+    [vocab.add(w) for w in "abcd"]
+    ds = TestDataset(names, caps, vocab=vocab, args=args, synthetic=True)
+    assert len(ds) == 8 * 4
+    s = ds[0]
+    assert s["img1"].shape == (112, 112, 3)
+    assert s["pair_label"] == 1 and ds[1]["pair_label"] == 0
+
+    dl = DataLoader(ds, batch_size=8, shuffle=False, drop_last=False)
+    batches = list(dl)
+    assert len(batches) == 4
+    assert batches[0]["img1"].shape == (8, 112, 112, 3)
+    assert batches[0]["cap1"].shape == (8, 6)
+
+
+def test_dataloader_shuffle_drop_last(tmp_path):
+    args = _mk_args(tmp_path)
+    names = [f"id{i}_0" for i in range(10)]
+    caps = [[1, 2] for _ in range(20)]
+    ds = TrainDataset(names, caps, args=args, synthetic=True)
+    dl = DataLoader(ds, batch_size=4, shuffle=True, drop_last=True, seed=1)
+    batches = list(dl)
+    assert len(batches) == 2  # 10 // 4
+    assert batches[0]["caps"].shape == (4, 6)
+    keys = [k for b in batches for k in b["key"].tolist()]
+    assert len(set(keys)) == 8  # no duplicates within an epoch

@@ -1,0 +1,354 @@
+"""Datasets: caption/identity metadata + image loading.
+
+Behavioral ports of the reference data layer (reference: utils/train_dataset.py,
+utils/test_dataset.py, utils/dataset_utils.py:104-329) producing fixed-shape
+numpy samples:
+
+  * filenames/class pickles and per-identity caption text files are read in
+    the reference's exact on-disk formats (data_dir/{split}/filenames.pickle,
+    class_info.pickle, data_dir/text/<id>/<id>_<k>.txt)
+  * caption token caches are pickle-compatible with the reference
+    (captions_RNN.pickle layout; captions_<bert_type>.pickle is accepted in
+    both the reference's torch-tensor layout and our numpy layout)
+  * the BERT caption-index bug (reference: utils/train_dataset.py:77-82 —
+    indexes the caption list with the raw random index instead of
+    index*captions_per_image + sent_ix) is FIXED by default; set
+    `compat_bert_caption_bug=True` to reproduce the reference behavior for
+    parity runs
+  * TestDataset resolves filename -> index with a dict (the reference does an
+    O(N) list.index per item: utils/test_dataset.py:101-102)
+  * `synthetic=True` generates deterministic per-key random images so every
+    entry point runs end-to-end without the (unshipped) Face2Text images.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from text_guided_face_recognition_tpu.data.tokenizers import (
+    LstmTokenizer,
+    Vocabulary,
+    build_dictionary,
+    get_bert_tokenizer,
+)
+from text_guided_face_recognition_tpu.data.transforms import (
+    decode_image,
+    eval_transform,
+    train_transform,
+)
+
+__all__ = ["load_filenames", "load_class_id", "load_captions",
+           "load_text_data", "load_text_data_bert", "TrainDataset",
+           "TestDataset"]
+
+
+def load_filenames(data_dir: str, split: str) -> List[str]:
+    """reference: utils/dataset_utils.py:306-316."""
+    path = os.path.join(data_dir, split, "filenames.pickle")
+    if not os.path.isfile(path):
+        return []
+    with open(path, "rb") as f:
+        names = pickle.load(f)
+    print(f"Load {split} filenames from: {path} ({len(names)})")
+    return list(names)
+
+
+def load_class_id(split_dir: str) -> List[int]:
+    """reference: utils/dataset_utils.py:319-329."""
+    path = os.path.join(split_dir, "class_info.pickle")
+    with open(path, "rb") as f:
+        class_id = pickle.load(f, encoding="bytes")
+    print(f"Load class_info from: {path} ({len(class_id)})")
+    return list(class_id)
+
+
+def _read_caption_file(data_dir: str, filename: str) -> List[str]:
+    cap_path = os.path.join(data_dir, "text", filename + ".txt")
+    with open(cap_path, "r") as f:
+        return [c for c in f.read().split("\n") if len(c) > 0]
+
+
+def load_captions(data_dir: str, filenames: Sequence[str],
+                  embeddings_num: int) -> List[List[str]]:
+    """LSTM path: tokenize `embeddings_num` captions per image
+    (reference: utils/dataset_utils.py:145-179)."""
+    tok = LstmTokenizer()
+    all_captions: List[List[str]] = []
+    for name in filenames:
+        cnt = 0
+        for cap in _read_caption_file(data_dir, name):
+            tokens = tok.tokenize(cap)
+            if not tokens:
+                continue
+            all_captions.append(tokens)
+            cnt += 1
+            if cnt == embeddings_num:
+                break
+        if cnt < embeddings_num:
+            print(f"ERROR: the captions for {name} less than {cnt}")
+    return all_captions
+
+
+def load_text_data(data_dir: str, embeddings_num: int):
+    """LSTM caption cache, pickle-compatible with the reference's
+    captions_RNN.pickle (reference: utils/dataset_utils.py:221-254).
+    Returns (names..., captions..., vocab)."""
+    filepath = os.path.join(data_dir, "captions_RNN.pickle")
+    train_names = load_filenames(data_dir, "train")
+    valid_names = load_filenames(data_dir, "valid")
+    test_names = load_filenames(data_dir, "test")
+
+    if not os.path.isfile(filepath):
+        raw = [load_captions(data_dir, n, embeddings_num)
+               for n in (train_names, valid_names, test_names)]
+        (train_caps, valid_caps, test_caps), vocab = build_dictionary(*raw)
+        with open(filepath, "wb") as f:
+            pickle.dump([train_caps, valid_caps, test_caps,
+                         vocab.ixtoword, vocab.wordtoix], f, protocol=2)
+        print("\nSave to: ", filepath)
+    else:
+        with open(filepath, "rb") as f:
+            x = pickle.load(f)
+        train_caps, valid_caps, test_caps = x[0], x[1], x[2]
+        vocab = Vocabulary(wordtoix=x[4], ixtoword=x[3])
+    return (train_names, train_caps, valid_names, valid_caps,
+            test_names, test_caps, vocab)
+
+
+def _as_numpy_caption(x) -> np.ndarray:
+    """Accept torch tensors (reference cache format) or arrays/lists."""
+    if hasattr(x, "numpy"):
+        return np.asarray(x.numpy(), np.int32)
+    return np.asarray(x, np.int32)
+
+
+def load_text_data_bert(data_dir: str, args):
+    """BERT caption cache (reference: utils/dataset_utils.py:183-217);
+    accepts the reference's torch-tensor pickles or our numpy pickles."""
+    filepath = os.path.join(data_dir, f"captions_{args.bert_type}.pickle")
+    names = {s: load_filenames(data_dir, s) for s in ("train", "valid", "test")}
+
+    if not os.path.isfile(filepath):
+        encode = get_bert_tokenizer(args)
+        store = []
+        for split in ("train", "valid", "test"):
+            caps, masks = [], []
+            for name in names[split]:
+                cnt = 0
+                for cap in _read_caption_file(data_dir, name):
+                    ids, mask = encode(cap, args.bert_words_num)
+                    caps.append(ids)
+                    masks.append(mask)
+                    cnt += 1
+                    if cnt == args.captions_per_image:
+                        break
+                if cnt < args.captions_per_image:
+                    print(f"ERROR: the captions for {name} less than {cnt}")
+            store += [caps, masks]
+        with open(filepath, "wb") as f:
+            pickle.dump(store, f, protocol=2)
+        print("\nSave to: ", filepath)
+        tr_c, tr_m, va_c, va_m, te_c, te_m = store
+    else:
+        print("Loading ", filepath)
+        with open(filepath, "rb") as f:
+            x = pickle.load(f)
+        tr_c, tr_m, va_c, va_m, te_c, te_m = (
+            [_as_numpy_caption(c) for c in part] for part in x)
+    return (names["train"], tr_c, tr_m, names["valid"], va_c, va_m,
+            names["test"], te_c, te_m)
+
+
+def _synthetic_image(key: str, img_size: int) -> np.ndarray:
+    """Deterministic per-key uint8 image for data-free end-to-end runs."""
+    seed = int.from_bytes(hashlib.sha1(key.encode()).digest()[:4], "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(img_size, img_size, 3), dtype=np.uint8)
+
+
+class _DatasetBase:
+    def _get_image(self, key: str, split: str) -> np.ndarray:
+        if self.synthetic:
+            return _synthetic_image(key, self.img_size)
+        path = os.path.join(self.data_dir, "images", split, key + ".jpg")
+        return decode_image(path, self.img_size)
+
+    def pad_lstm_caption(self, caption: Sequence[int],
+                         rng: np.random.Generator) -> Tuple[np.ndarray, int]:
+        """Pad with 0 ('<end>') or randomly subsample to word_num
+        (reference: utils/train_dataset.py:42-63)."""
+        cap = np.asarray(caption, np.int64)
+        if (cap == 0).sum() > 0:
+            print("ERROR: do not need END (0) token", cap)
+        x = np.zeros((self.word_num,), np.int32)
+        n = len(cap)
+        if n <= self.word_num:
+            x[:n] = cap
+            return x, n
+        ix = np.sort(rng.permutation(n)[: self.word_num])
+        x[:] = cap[ix]
+        return x, self.word_num
+
+
+class TrainDataset(_DatasetBase):
+    """reference: utils/train_dataset.py:11-90. Samples are dicts of numpy
+    arrays; the image is NHWC float32 in [-1, 1]."""
+
+    def __init__(self, filenames, captions, att_masks=None,
+                 vocab: Optional[Vocabulary] = None, transform=None,
+                 split: str = "train", args=None, synthetic: bool = False,
+                 seed: int = 0):
+        self.filenames = list(filenames)
+        self.captions = captions
+        self.att_masks = att_masks
+        self.vocab = vocab
+        self.transform = transform
+        self.split = split
+        self.args = args
+        self.synthetic = synthetic or bool(getattr(args, "synthetic", False))
+        self.embeddings_num = args.captions_per_image
+        self.data_dir = args.data_dir
+        self.en_type = args.en_type
+        self.model_type = args.model_type
+        self.img_size = args.img_size
+        self.word_num = (args.bert_words_num if args.en_type == "BERT"
+                         else args.lstm_words_num)
+        self.compat_bug = bool(getattr(args, "compat_bert_caption_bug", False))
+        self.class_id = load_class_id(os.path.join(self.data_dir, split)) \
+            if not self.synthetic else self._synthetic_class_ids(args)
+        self.rng = np.random.default_rng(seed)
+
+    def _synthetic_class_ids(self, args) -> List[int]:
+        n = len(self.filenames)
+        return [i % args.num_classes for i in range(n)]
+
+    def __len__(self) -> int:
+        return len(self.filenames)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        key = self.filenames[index]
+        cls_id = self.class_id[index]
+        raw = self._get_image(key, self.split)
+        if self.transform is not None:
+            img = self.transform(raw)
+        else:
+            img = train_transform(raw, self.rng, self.model_type)
+
+        sent_ix = int(self.rng.integers(0, self.embeddings_num))
+        new_sent_ix = index * self.embeddings_num + sent_ix
+
+        if self.en_type == "BERT":
+            # reference bug: uses sent_ix instead of new_sent_ix (:77-82)
+            cap_index = sent_ix if self.compat_bug else new_sent_ix
+            return {"img": img,
+                    "caps": _as_numpy_caption(self.captions[cap_index]),
+                    "mask": _as_numpy_caption(self.att_masks[cap_index]),
+                    "key": key, "cls_id": np.int32(cls_id)}
+        caps, cap_len = self.pad_lstm_caption(self.captions[new_sent_ix],
+                                              self.rng)
+        return {"img": img, "caps": caps, "cap_len": np.int32(cap_len),
+                "key": key, "cls_id": np.int32(cls_id)}
+
+
+class TestDataset(_DatasetBase):
+    """Pair-list verification dataset (reference: utils/test_dataset.py:12-127).
+    Pairs come from `img1 img2 label` lines; caption index is the pair file
+    key's first caption (sent_ix = 0)."""
+
+    __test__ = False  # not a pytest class despite the name
+
+    def __init__(self, filenames, captions, att_masks=None,
+                 vocab: Optional[Vocabulary] = None, transform=None,
+                 split: str = "test", args=None, synthetic: bool = False):
+        self.filenames = list(filenames)
+        self.captions = captions
+        self.att_masks = att_masks
+        self.vocab = vocab
+        self.transform = transform
+        self.split = split
+        self.args = args
+        self.synthetic = synthetic or bool(getattr(args, "synthetic", False))
+        self.embeddings_num = args.captions_per_image
+        self.data_dir = args.data_dir
+        self.en_type = args.en_type
+        self.model_type = args.model_type
+        self.img_size = args.img_size
+        self.word_num = (args.bert_words_num if args.en_type == "BERT"
+                         else args.lstm_words_num)
+        self.n_words = vocab.n_words if vocab is not None else 0
+        # O(1) filename lookup (the reference scans the list per item)
+        self._index = {name: i for i, name in enumerate(self.filenames)}
+        pair_file = (args.test_pair_list if split == "test"
+                     else args.valid_pair_list)
+        self.imgs_pair, self.pair_label = self._read_pairs(pair_file)
+        self.rng = np.random.default_rng(0)
+
+    def _read_pairs(self, path: str):
+        if self.synthetic and not os.path.isfile(path):
+            return self._synthetic_pairs()
+        pairs, labels = [], []
+        with open(path) as fd:
+            for line in fd:
+                parts = line.split(" ")
+                if len(parts) < 3:
+                    continue
+                pairs.append([parts[0], parts[1]])
+                labels.append(int(parts[2]))
+        return pairs, labels
+
+    def _synthetic_pairs(self):
+        """Identification-protocol synthetic pairs: per subject 1 genuine at
+        column = subject index in its group + imposters."""
+        n = min(len(self.filenames), 64)
+        pairs, labels = [], []
+        for i in range(n):
+            for j in range(4):
+                a = self.filenames[i] + ".jpg"
+                b = self.filenames[(i + j) % n] + ".jpg"
+                pairs.append([a, b])
+                labels.append(1 if j == 0 else 0)
+        return pairs, labels
+
+    def __len__(self) -> int:
+        return len(self.imgs_pair)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        imgs = self.imgs_pair[index]
+        pair_label = self.pair_label[index]
+
+        if self.synthetic:
+            img_names = [imgs[0], imgs[1]]
+        else:
+            # reference: imgs live under a per-identity dir <id>/<id>_<k>.jpg
+            img_names = [os.path.join(n.split("_")[0], n) for n in imgs]
+        keys = [n[:-4] for n in img_names]
+
+        sample: Dict[str, np.ndarray] = {"pair_label": np.int32(pair_label)}
+        for slot, (name, key) in enumerate(zip(img_names, keys), start=1):
+            if self.synthetic:
+                raw = _synthetic_image(key, self.img_size)
+            else:
+                raw = decode_image(os.path.join(self.data_dir, "images",
+                                                self.split, name),
+                                   self.img_size)
+            img = (self.transform(raw) if self.transform is not None
+                   else eval_transform(raw, self.model_type))
+            sample[f"img{slot}"] = img
+            real_index = self._index.get(key, 0)
+            new_sent_ix = real_index * self.embeddings_num  # sent_ix = 0
+            if self.en_type == "BERT":
+                sample[f"cap{slot}"] = _as_numpy_caption(
+                    self.captions[new_sent_ix])
+                sample[f"mask{slot}"] = _as_numpy_caption(
+                    self.att_masks[new_sent_ix])
+            else:
+                caps, cap_len = self.pad_lstm_caption(
+                    self.captions[new_sent_ix], self.rng)
+                sample[f"cap{slot}"] = caps
+                sample[f"cap_len{slot}"] = np.int32(cap_len)
+        return sample
