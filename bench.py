@@ -1,0 +1,84 @@
+"""Benchmark: stage-1 FCAM training throughput (face-caption pairs/sec/chip).
+
+Measures the flagship configuration — frozen iresnet18 + bert-base text tower
++ full FCAM loss cocktail (DAMSM + CLIP-global + identity margins) + 3-group
+optimizer — i.e. the reference's `train_encoders_bert.py` hot loop (batch 32,
+cfg/train_bert.yml:41) as one jitted TPU step on synthetic device-resident
+data (pure compute throughput; input pipeline overlaps on real runs).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md), so the
+baseline is an engineering estimate of the reference stage-1 throughput on
+its stated hardware (2x RTX 6000, README.md:59): ~8 GFLOPs/pair end-to-end,
+DataParallel scatter/gather each step, and a Python loop of 32 small bmm
+chains inside words_loss (models/losses.py:73-111) that serializes the
+dominant loss — we estimate 200 pairs/s. Recorded here so the ratio is
+auditable; BENCH_r*.json keeps the raw value either way.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+BASELINE_PAIRS_PER_SEC = 200.0  # documented estimate, see module docstring
+
+
+def main():
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    force_cpu = "--cpu" in sys.argv
+    if force_cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from text_guided_face_recognition_tpu.config import TGFRConfig
+    from text_guided_face_recognition_tpu.engine.stage1 import Stage1Trainer
+
+    B = 32  # reference stage-1 BERT batch (cfg/train_bert.yml:41)
+    args = TGFRConfig().replace(
+        en_type="BERT", bert_type="bert", synthetic=True, batch_size=B,
+        num_workers=2, max_epoch=1, compute_dtype="bfloat16",
+        is_DAMSM=True, is_CLIP=True, is_ident_loss=True, num_classes=4500)
+
+    trainer = Stage1Trainer(args)
+    rng = np.random.default_rng(0)
+    batch = {
+        "img": jnp.asarray(rng.normal(size=(B, 112, 112, 3)).astype(np.float32)),
+        "caps": jnp.asarray(rng.integers(1000, 30000, (B, 24)).astype(np.int32)),
+        "mask": jnp.ones((B, 24), jnp.int32),
+        "cls_id": jnp.asarray(rng.integers(0, 4500, B).astype(np.int32)),
+    }
+    frozen = trainer.backbone.variables
+    key = jax.random.PRNGKey(0)
+
+    # compile + warmup
+    state, metrics = trainer._train_step(trainer.state, batch, frozen, key)
+    jax.block_until_ready(metrics["total_loss"])
+
+    steps = 5 if force_cpu else 30
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = trainer._train_step(state, batch, frozen, key)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    pairs_per_sec_per_chip = steps * B / dt / n_chips
+    print(json.dumps({
+        "metric": "stage1_bert_train_pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec_per_chip, 2),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(pairs_per_sec_per_chip / BASELINE_PAIRS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""End-to-end engine tests on the 8-device virtual CPU mesh: a stage-1 LSTM
+train step (loss decreases, params update, state donated), a stage-2 fusion
+step, checkpoint round-trip, and the multi-device sharded step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from text_guided_face_recognition_tpu.config import TGFRConfig
+
+
+def _tiny_args(**kw):
+    base = dict(
+        en_type="LSTM", synthetic=True, batch_size=4, num_workers=2,
+        max_epoch=1, compute_dtype="float32", num_classes=16,
+        lstm_words_num=8, captions_per_image=2, manual_seed=0,
+        is_DAMSM=True, is_CLIP=True, is_ident_loss=True, is_CMP=False)
+    base.update(kw)
+    return TGFRConfig().replace(**base)
+
+
+@pytest.fixture(scope="module")
+def lstm_trainer():
+    from text_guided_face_recognition_tpu.engine.stage1 import Stage1Trainer
+    return Stage1Trainer(_tiny_args())
+
+
+def test_stage1_step_updates_params_and_loss_finite(lstm_trainer):
+    tr = lstm_trainer
+    batch = next(iter(tr.train_dl))
+    batch = {k: v for k, v in batch.items() if k != "key"}
+    before = np.asarray(
+        jax.tree_util.tree_leaves(tr.state.params["image_head"])[0]).copy()
+    state, metrics = tr._train_step(tr.state, batch, tr.backbone.variables,
+                                    jax.random.PRNGKey(0))
+    tr.state = state
+    assert np.isfinite(float(metrics["total_loss"]))
+    after = np.asarray(
+        jax.tree_util.tree_leaves(state.params["image_head"])[0])
+    assert not np.allclose(before, after)  # heads actually trained
+    # text encoder trains by default (deviation #2)
+    g = jax.tree_util.tree_leaves(state.params["text_encoder"])[0]
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_stage1_lr_schedule(lstm_trainer):
+    from text_guided_face_recognition_tpu.engine import optim
+    tr = lstm_trainer
+    tr.lr = {"head": 0.002, "encoder": 0.001, "cls": 0.1}
+    tr._apply_lrs()
+    tr.schedule_epoch_end(3)  # epoch 3: cls /10, adams *0.98
+    assert optim.get_lr(tr.state.opt_state, "cls") == pytest.approx(0.01)
+    assert optim.get_lr(tr.state.opt_state, "head") == pytest.approx(
+        0.002 * 0.98)
+    assert optim.get_lr(tr.state.opt_state, "encoder") == pytest.approx(
+        0.001 * 0.98)
+
+
+def test_stage1_compat_frozen_text_keeps_encoder_fixed():
+    from text_guided_face_recognition_tpu.engine.stage1 import Stage1Trainer
+    tr = Stage1Trainer(_tiny_args(compat_frozen_text=True))
+    batch = {k: v for k, v in next(iter(tr.train_dl)).items() if k != "key"}
+    before = jax.tree_util.tree_map(np.asarray,
+                                    tr.state.params["text_encoder"])
+    state, _ = tr._train_step(tr.state, batch, tr.backbone.variables,
+                              jax.random.PRNGKey(0))
+    after = state.params["text_encoder"]
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_allclose(a, np.asarray(b))
+
+
+def test_stage1_multidevice_sharded_step():
+    from text_guided_face_recognition_tpu.engine.stage1 import Stage1Trainer
+    from text_guided_face_recognition_tpu.parallel import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = jax.device_count()
+    assert n == 8
+    tr = Stage1Trainer(_tiny_args(batch_size=2 * n, num_devices=n))
+    mesh = make_mesh(n)
+    batch = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+             for k, v in next(iter(tr.train_dl)).items() if k != "key"}
+    state = jax.device_put(tr.state, NamedSharding(mesh, P()))
+    frozen = jax.device_put(tr.backbone.variables, NamedSharding(mesh, P()))
+    new_state, metrics = tr._train_step(state, batch, frozen,
+                                        jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_stage2_fusion_step_and_checkpoint_roundtrip(tmp_path):
+    from text_guided_face_recognition_tpu.engine.stage2 import FusionTrainer
+    from text_guided_face_recognition_tpu.engine.checkpoint import (
+        load_checkpoint, save_checkpoint)
+
+    args = _tiny_args(fusion_type="linear", CONFIG_NAME="Fusion",
+                      lr_image_train=0.1, loss="focal_loss",
+                      checkpoints_path=str(tmp_path))
+    tr = FusionTrainer(args)
+    batch = {k: v for k, v in next(iter(tr.train_dl)).items() if k != "key"}
+    state, metrics = tr._train_step(tr.state, batch, tr.backbone.variables,
+                                    jax.random.PRNGKey(0))
+    tr.state = state
+    assert np.isfinite(float(metrics["loss"]))
+
+    tr.save_models(str(tmp_path), epoch=1)
+    path = f"{tmp_path}/fusion_linear_arcface_1"
+    like = {"net": {"params": tr.state.params["fusion_net"]},
+            "image_head": {"params": tr.state.params["image_head"],
+                           "batch_stats": tr.state.batch_stats["image_head"]}}
+    tree = load_checkpoint(path, like=like)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(tree["net"]["params"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(
+            tr.state.params["fusion_net"])[0]))
+
+
+def test_validate_concat_produces_scores(lstm_trainer, capsys):
+    m = lstm_trainer.validate()
+    assert 0.0 <= m["auc"] <= 1.0
+    out = capsys.readouterr().out
+    assert "AUC" in out and "EER" in out

@@ -193,6 +193,8 @@ class TGFRConfig:
 
     # TPU-native additions (deviations documented in docs/DEVIATIONS.md)
     compat_bert_caption_bug: bool = False  # reproduce utils/train_dataset.py:77-82 mispairing
+    compat_frozen_text: bool = False       # reproduce the reference's no-grad text path
+    synthetic: bool = False                # run on generated images/captions
     compute_dtype: str = "bfloat16"        # backbone compute dtype; margin math stays fp32
     use_pallas: bool = True                # fused Pallas DAMSM kernel where profitable
 

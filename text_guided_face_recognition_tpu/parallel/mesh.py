@@ -1,0 +1,60 @@
+"""Device mesh construction + sharding rules.
+
+The reference's only parallelism is single-process nn.DataParallel over CUDA
+peers (SURVEY.md §2.12). The TPU-native equivalent: a 1-D `jax.sharding.Mesh`
+over ICI with the batch sharded on the "data" axis and parameters replicated.
+Train steps are jit-compiled with these shardings; the B x B contrastive score
+matrices contract the sharded batch axis against itself, so XLA inserts the
+all-gather of embeddings over ICI automatically — preserving the reference's
+batch-global-negatives semantics (DataParallel computes losses on the gathered
+full batch on device 0; utils/prepare.py wrap sites).
+
+The axis layout is DCN-ready: `make_mesh` accepts extra axes (e.g.
+("replica", "data")) so cross-slice data parallelism can be layered on without
+touching the train steps.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]
+
+
+def make_mesh(num_devices: int = 0,
+              axis_names: Sequence[str] = ("data",),
+              devices=None) -> Mesh:
+    """1-D (or reshaped N-D) mesh over the first `num_devices` devices
+    (0 = all visible)."""
+    devs = list(devices if devices is not None else jax.devices())
+    if num_devices and num_devices > 0:
+        devs = devs[:num_devices]
+    n = len(devs)
+    if len(axis_names) == 1:
+        shape: Tuple[int, ...] = (n,)
+    else:
+        # put everything on the last (innermost/ICI-fastest) axis by default
+        shape = (1,) * (len(axis_names) - 1) + (n,)
+    arr = np.asarray(devs).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Leading-axis sharding for per-sample arrays."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Optional[Mesh], axis: str = "data") -> dict:
+    """device_put each array with its batch axis sharded (host -> HBM)."""
+    if mesh is None or mesh.size == 1:
+        return jax.device_put(batch)
+    sh = batch_sharding(mesh, axis)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}

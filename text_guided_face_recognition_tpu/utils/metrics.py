@@ -157,6 +157,11 @@ def calculate_identification_acc(y_score, args=None, test_sub: Optional[int] = N
             np.save(f, y_score)
 
     pair_each_sub = len(y_score) // test_sub
+    if pair_each_sub < 1:
+        import warnings
+        warnings.warn(f"identification: only {len(y_score)} scores for "
+                      f"{test_sub} subjects; skipping rank-1 accuracy")
+        return float("nan")
     print("total subjects: ", test_sub)
     grid = y_score[: test_sub * pair_each_sub].reshape((test_sub, pair_each_sub))
     pred = np.argmax(grid, axis=1)
