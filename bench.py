@@ -31,11 +31,12 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     force_cpu = "--cpu" in sys.argv
-    if force_cpu:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-
     import jax
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
 

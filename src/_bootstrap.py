@@ -43,9 +43,13 @@ def setup(args_ns):
     from text_guided_face_recognition_tpu.config import merge_args_yaml
 
     args = merge_args_yaml(args_ns)
+    import jax
     if getattr(args_ns, "cpu", None):
-        import jax
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: compiles through the TPU tunnel are expensive
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     random.seed(args.manual_seed)
     import numpy as np
     np.random.seed(args.manual_seed)

@@ -196,7 +196,7 @@ class TGFRConfig:
     compat_frozen_text: bool = False       # reproduce the reference's no-grad text path
     synthetic: bool = False                # run on generated images/captions
     compute_dtype: str = "bfloat16"        # backbone compute dtype; margin math stays fp32
-    use_pallas: bool = True                # fused Pallas DAMSM kernel where profitable
+    use_pallas: bool = False               # fused Pallas DAMSM kernel (see ops/damsm_pallas.py perf note)
 
     # Anything else found in a YAML lands here and is still attribute-accessible.
     extras: Dict[str, Any] = field(default_factory=dict)

@@ -180,9 +180,12 @@ class Stage1Trainer:
             if args.is_DAMSM:
                 # local map to (B, D, H, W) for the loss API
                 words_f_chw = jnp.transpose(words_f, (0, 3, 1, 2))
+                use_pallas = bool(args.use_pallas) and \
+                    jax.default_backend() not in ("cpu",)
                 w0, w1 = ops.words_loss(words_f_chw, words_emb, labels,
                                         g.GAMMA1, g.GAMMA2, g.GAMMA3,
-                                        word_mask=word_mask)
+                                        word_mask=word_mask,
+                                        use_pallas=use_pallas)
                 s0, s1 = ops.sent_loss(img_f, sent_emb, labels, class_ids,
                                        gamma3=g.GAMMA3)
                 if self.is_bert:
@@ -193,6 +196,29 @@ class Stage1Trainer:
                 metrics["w_loss"] = w0 + w1
                 metrics["s_loss"] = s0 + s1
                 metrics["damsm_loss"] = damsm
+
+            if args.is_WRA:
+                # The reference's is_WRA branch is a `pass`
+                # (src/train_encoders_bert.py:286-287) over a partially-ported
+                # module; here the flag is live: attention-weighted word
+                # InfoNCE with per-word saliency = max region attention from
+                # the caption's own image (see ops/wra.py docstring).
+                from text_guided_face_recognition_tpu.ops.wra import (
+                    word_region_alignment_loss)
+                from text_guided_face_recognition_tpu.ops.attention import (
+                    func_attention)
+                words_q = jnp.swapaxes(words_emb, 1, 2)       # (B, T, D)
+                regions_q = words_f.reshape(words_f.shape[0], -1,
+                                            words_f.shape[-1])  # (B, R, D)
+                _, attn = func_attention(
+                    words_emb, jnp.transpose(words_f, (0, 3, 1, 2)),
+                    g.GAMMA1, query_mask=word_mask)
+                saliency = jnp.max(
+                    attn.reshape(attn.shape[0], attn.shape[1], -1), axis=-1)
+                wra = word_region_alignment_loss(words_q, regions_q,
+                                                 saliency, word_mask)
+                total += wra
+                metrics["wra_loss"] = wra
 
             if args.is_ident_loss:
                 t_logits = ops.arc_margin_logits(
@@ -311,10 +337,43 @@ class Stage1Trainer:
         name = args.bert_type if self.is_bert else args.en_type
         save_checkpoint(f"{save_dir}/{name}_text_encoder_{epoch}", text_tree)
 
+    def save_state(self, save_dir: str, epoch: int):
+        """Full resumable state (params + stats + optimizer + epoch + LRs) —
+        the reference's resume path loads optimizer keys its save never wrote
+        (src/train_encoders_bert.py:84-99 vs :59-80); here resume is a
+        first-class third artifact."""
+        save_checkpoint(f"{save_dir}/train_state_{epoch}", {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "meta": {"epoch": jnp.asarray(epoch),
+                     "lr": {k: jnp.asarray(v) for k, v in self.lr.items()}},
+        })
+
+    def resume_from(self, path: str):
+        from text_guided_face_recognition_tpu.engine.checkpoint import (
+            load_checkpoint)
+        like = {"params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state,
+                "meta": {"epoch": jnp.asarray(0),
+                         "lr": {k: jnp.asarray(v) for k, v in self.lr.items()}}}
+        tree = load_checkpoint(path, like=like)
+        self.state = TrainState(params=tree["params"],
+                                batch_stats=tree["batch_stats"],
+                                opt_state=tree["opt_state"],
+                                step=self.state.step)
+        self.lr = {k: float(v) for k, v in tree["meta"]["lr"].items()}
+        self._apply_lrs()
+        self.start_epoch = int(tree["meta"]["epoch"]) + 1
+        print("resumed from", path, "at epoch", self.start_epoch)
+
     def main(self):
         """Epoch loop (reference: src/train_encoders_bert.py:398-421)."""
         import os
         args = self.args
+        if args.resume_model_path and args.resume_epoch > 1:
+            self.resume_from(args.resume_model_path)
         save_dir = os.path.join(
             args.checkpoints_path, args.dataset_name, args.CONFIG_NAME,
             f"{args.en_type}_{args.model_type}",
@@ -326,6 +385,7 @@ class Stage1Trainer:
             if epoch % args.save_interval == 0 or epoch == args.max_epoch:
                 print("saving image and text encoder\n")
                 self.save_encoders(save_dir, epoch)
+                self.save_state(save_dir, epoch)
             if epoch > 12 and epoch % args.test_interval == 0:
                 print("start validating")
                 self.validate()

@@ -91,6 +91,7 @@ def words_loss(
     gamma3: float = 10.0,
     word_mask: Optional[jnp.ndarray] = None,
     return_attn: bool = False,
+    use_pallas: bool = False,
 ):
     """DAMSM word loss, vectorized (reference: models/losses.py:61-135).
 
@@ -110,7 +111,12 @@ def words_loss(
     b, d, h, w = img_features.shape
     regions = img_features.reshape(b, d, h * w).astype(jnp.float32)
     words = words_emb.astype(jnp.float32)
-    sim = damsm_similarity(words, regions, gamma1, gamma2, word_mask)  # [img j, cap i]
+    if use_pallas:
+        from text_guided_face_recognition_tpu.ops.damsm_pallas import (
+            damsm_similarity_fused)
+        sim = damsm_similarity_fused(words, regions, gamma1, gamma2, word_mask)
+    else:
+        sim = damsm_similarity(words, regions, gamma1, gamma2, word_mask)  # [img j, cap i]
     sim = sim * gamma3
     loss0 = cross_entropy_rows(sim, labels)      # per image: pick its caption
     loss1 = cross_entropy_rows(sim.T, labels)    # per caption: pick its image
