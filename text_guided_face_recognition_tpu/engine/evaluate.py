@@ -11,6 +11,7 @@ score accumulation is host-side numpy.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -139,6 +140,41 @@ def run_test(args, test_dl, backbone, image_head, fusion_net,
     if args.is_ident:
         calculate_identification_acc(preds, args)
     return calculate_scores(preds, labels, args)
+
+
+def get_img_features_dict(args, backbone) -> Dict[str, np.ndarray]:
+    """Identification feature cache: global backbone features for every
+    distinct image in the pair list (reference: utils/modules.py:174-188 —
+    which recomputes per-image with batch 1; here images are batched)."""
+    from text_guided_face_recognition_tpu.data.transforms import (
+        decode_image, eval_transform)
+
+    with open(args.test_pair_list) as fd:
+        pairs = fd.readlines()
+    names = sorted({p.split(" ")[0] for p in pairs} |
+                   {p.split(" ")[1].strip() for p in pairs})
+
+    @jax.jit
+    def fwd(img):
+        g, _ = _backbone_feats(args, backbone, backbone.variables, img)
+        return g
+
+    feats: Dict[str, np.ndarray] = {}
+    bs = max(int(args.batch_size), 1)
+    for i in range(0, len(names), bs):
+        chunk = names[i:i + bs]
+        imgs = np.stack([
+            eval_transform(decode_image(
+                os.path.join(args.data_dir, args.dataset_name, "test_images",
+                             n), args.img_size), args.model_type)
+            for n in chunk])
+        pad = bs - len(chunk)
+        if pad:
+            imgs = np.concatenate([imgs, np.zeros_like(imgs[:pad])])
+        out = np.asarray(fwd(jnp.asarray(imgs)))
+        for n, f in zip(chunk, out):
+            feats[n] = f
+    return feats
 
 
 def org_face_test(args, test_dl, backbone) -> Dict[str, float]:
