@@ -172,6 +172,32 @@ def _synthetic_image(key: str, img_size: int) -> np.ndarray:
 
 
 class _DatasetBase:
+    use_native: bool = True  # fused C++ decode+transform when available
+
+    def _native_ok(self) -> bool:
+        if not self.use_native or self.synthetic:
+            return False
+        from text_guided_face_recognition_tpu.data import native
+        return native.available()
+
+    def _load_transformed(self, path: str, train: bool,
+                          rng: np.random.Generator) -> Optional[np.ndarray]:
+        """Fused native decode+resize+augment+normalize (native/tgfr_dataio.cpp);
+        None -> caller falls back to the PIL path. The ctypes call releases
+        the GIL, so the DataLoader thread pool parallelizes decodes."""
+        if not self._native_ok():
+            return None
+        from text_guided_face_recognition_tpu.data import native
+        seeds = np.asarray([rng.integers(0, 2**63)], np.uint64) if train \
+            else None
+        try:
+            return native.decode_batch(
+                [path], self.img_size, self.img_size, seeds=seeds,
+                train_aug=train, bgr=self.model_type == "adaface",
+                n_threads=1)[0]
+        except Exception:
+            return None
+
     def _get_image(self, key: str, split: str) -> np.ndarray:
         if self.synthetic:
             return _synthetic_image(key, self.img_size)
@@ -233,11 +259,17 @@ class TrainDataset(_DatasetBase):
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         key = self.filenames[index]
         cls_id = self.class_id[index]
-        raw = self._get_image(key, self.split)
-        if self.transform is not None:
-            img = self.transform(raw)
-        else:
-            img = train_transform(raw, self.rng, self.model_type)
+        img = None
+        if self.transform is None and not self.synthetic:
+            path = os.path.join(self.data_dir, "images", self.split,
+                                key + ".jpg")
+            img = self._load_transformed(path, train=True, rng=self.rng)
+        if img is None:
+            raw = self._get_image(key, self.split)
+            if self.transform is not None:
+                img = self.transform(raw)
+            else:
+                img = train_transform(raw, self.rng, self.model_type)
 
         sent_ix = int(self.rng.integers(0, self.embeddings_num))
         new_sent_ix = index * self.embeddings_num + sent_ix
@@ -330,14 +362,17 @@ class TestDataset(_DatasetBase):
 
         sample: Dict[str, np.ndarray] = {"pair_label": np.int32(pair_label)}
         for slot, (name, key) in enumerate(zip(img_names, keys), start=1):
-            if self.synthetic:
-                raw = _synthetic_image(key, self.img_size)
-            else:
-                raw = decode_image(os.path.join(self.data_dir, "images",
-                                                self.split, name),
-                                   self.img_size)
-            img = (self.transform(raw) if self.transform is not None
-                   else eval_transform(raw, self.model_type))
+            img = None
+            path = os.path.join(self.data_dir, "images", self.split, name)
+            if self.transform is None and not self.synthetic:
+                img = self._load_transformed(path, train=False, rng=self.rng)
+            if img is None:
+                if self.synthetic:
+                    raw = _synthetic_image(key, self.img_size)
+                else:
+                    raw = decode_image(path, self.img_size)
+                img = (self.transform(raw) if self.transform is not None
+                       else eval_transform(raw, self.model_type))
             sample[f"img{slot}"] = img
             real_index = self._index.get(key, 0)
             new_sent_ix = real_index * self.embeddings_num  # sent_ix = 0
