@@ -158,12 +158,48 @@ class Stage1Trainer:
     # ---------------------------------------------------------- train step --
 
     def _build_train_step(self):
+        loss_fn = self.build_loss_fn()
+        args = self.args
+        train_text = not args.compat_frozen_text
+
+        def train_step(state: TrainState, batch, frozen_vars, rng):
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (_, (new_img_stats, metrics)), grads = grad_fn(
+                state.params, state.batch_stats, batch, frozen_vars, rng)
+            if train_text:
+                # clip text-encoder grads by global norm (ref intent,
+                # clip_max_norm; see module docstring)
+                te = grads["text_encoder"]
+                gnorm = optax.global_norm(te)
+                scale = jnp.minimum(1.0, args.clip_max_norm /
+                                    jnp.maximum(gnorm, 1e-6))
+                grads = dict(grads)
+                grads["text_encoder"] = jax.tree_util.tree_map(
+                    lambda x: x * scale, te)
+            updates, new_opt = self.tx.update(grads, state.opt_state,
+                                              state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_stats = dict(state.batch_stats)
+            new_stats["image_head"] = new_img_stats
+            return TrainState(params=new_params, batch_stats=new_stats,
+                              opt_state=new_opt, step=state.step + 1), metrics
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def build_loss_fn(self, axis_name: Optional[str] = None):
+        """The stage-1 loss cocktail as a pure function.
+
+        axis_name=None: single logical batch (the default jit+sharding path —
+        XLA inserts collectives from the sharded B x B contractions).
+        axis_name="data": explicit-SPMD mode for shard_map — embeddings and
+        labels are all-gathered over the mesh axis before every contrastive
+        matrix, preserving the reference's batch-global-negatives semantics
+        (SURVEY.md §2.12) with hand-placed collectives (parallel/spmd.py).
+        """
         args = self.args
         g = args.TRAIN.SMOOTH
 
         def loss_fn(params, batch_stats, batch, frozen_vars, rng):
-            b = batch["img"].shape[0]
-            labels = jnp.arange(b)
             class_ids = batch["cls_id"].astype(jnp.int32)
 
             words_emb, sent_emb, word_mask = self._text_forward(
@@ -173,6 +209,19 @@ class Stage1Trainer:
                 {"params": params["image_head"],
                  "batch_stats": batch_stats["image_head"]},
                 gl, lc, train=True, mutable=["batch_stats"])
+
+            if axis_name is not None:
+                from text_guided_face_recognition_tpu.parallel import (
+                    gather_global_negatives as gather)
+                words_emb = gather(words_emb, axis_name)
+                sent_emb = gather(sent_emb, axis_name)
+                img_f = gather(img_f, axis_name)
+                words_f = gather(words_f, axis_name)
+                class_ids = gather(class_ids, axis_name)
+                if word_mask is not None:
+                    word_mask = gather(word_mask, axis_name)
+            b = img_f.shape[0]
+            labels = jnp.arange(b)
 
             total = jnp.zeros((), jnp.float32)
             metrics: Dict[str, jnp.ndarray] = {}
@@ -249,31 +298,7 @@ class Stage1Trainer:
             metrics["total_loss"] = total
             return total, (updates["batch_stats"], metrics)
 
-        train_text = not args.compat_frozen_text
-
-        def train_step(state: TrainState, batch, frozen_vars, rng):
-            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-            (_, (new_img_stats, metrics)), grads = grad_fn(
-                state.params, state.batch_stats, batch, frozen_vars, rng)
-            if train_text:
-                # clip text-encoder grads by global norm (ref intent,
-                # clip_max_norm; see module docstring)
-                te = grads["text_encoder"]
-                gnorm = optax.global_norm(te)
-                scale = jnp.minimum(1.0, args.clip_max_norm /
-                                    jnp.maximum(gnorm, 1e-6))
-                grads = dict(grads)
-                grads["text_encoder"] = jax.tree_util.tree_map(
-                    lambda x: x * scale, te)
-            updates, new_opt = self.tx.update(grads, state.opt_state,
-                                              state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            new_stats = dict(state.batch_stats)
-            new_stats["image_head"] = new_img_stats
-            return TrainState(params=new_params, batch_stats=new_stats,
-                              opt_state=new_opt, step=state.step + 1), metrics
-
-        return jax.jit(train_step, donate_argnums=(0,))
+        return loss_fn
 
     # -------------------------------------------------------------- epochs --
 

@@ -1,0 +1,91 @@
+"""Explicit shard_map SPMD train step.
+
+The default execution path (engine/stage1.py) jits one logical-batch step and
+lets XLA derive the collectives from shardings. This module provides the
+hand-placed-collectives formulation for users who want explicit control of the
+communication schedule:
+
+  * batch sharded over the 1-D "data" mesh axis
+  * text/image towers run per-shard
+  * embeddings all-gathered over ICI before every B x B contrastive matrix
+    (reference equivalence: nn.DataParallel computes losses on the gathered
+    full batch on device 0 — SURVEY.md §2.12)
+  * every shard evaluates the identical global loss; parameter gradients are
+    psum'd (each shard's grad covers its own activations' contributions via
+    the all_gather transpose, so the psum is the exact full-batch gradient)
+  * BatchNorm statistics from the image head are pmean'd (cross-replica sync)
+
+Validated against the jit path on the 8-device CPU mesh (tests/test_spmd.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from text_guided_face_recognition_tpu.engine.stage1 import TrainState
+
+__all__ = ["make_shardmap_train_step"]
+
+
+def make_shardmap_train_step(trainer, mesh: Mesh, axis: str = "data"):
+    """Build an explicit-SPMD stage-1 train step for `trainer` over `mesh`.
+
+    Returns step(state, batch, frozen_vars, rng) with the same signature and
+    semantics as trainer._train_step; batch arrays must be shardable on their
+    leading axis by mesh.size.
+    """
+    args = trainer.args
+    loss_fn = trainer.build_loss_fn(axis_name=axis)
+    train_text = not args.compat_frozen_text
+
+    # Gradient reduction rule: the towers run BEFORE the all_gather, so each
+    # shard's gradient covers only its local activations' contributions (the
+    # gather's transpose reduce-scatters) -> psum reconstructs the full-batch
+    # gradient. The margin/CMP weights are applied AFTER the gather, so every
+    # shard already holds the full gradient -> pmean (psum would scale by N).
+    pre_gather = ("image_head", "text_encoder", "text_head")
+
+    def per_shard(state: TrainState, batch, frozen_vars, rng):
+        # de-correlate dropout across shards (a replicated key would sample
+        # identical masks on every shard)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_img_stats, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, batch, frozen_vars, rng)
+        grads = {
+            k: (jax.lax.psum(v, axis) if k in pre_gather
+                else jax.lax.pmean(v, axis))
+            for k, v in grads.items()
+        }
+        if train_text:
+            te = grads["text_encoder"]
+            gnorm = optax.global_norm(te)
+            scale = jnp.minimum(1.0, args.clip_max_norm /
+                                jnp.maximum(gnorm, 1e-6))
+            grads = dict(grads)
+            grads["text_encoder"] = jax.tree_util.tree_map(
+                lambda x: x * scale, te)
+        updates, new_opt = trainer.tx.update(grads, state.opt_state,
+                                             state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        # cross-replica BN stat sync (DataParallel keeps per-replica stats;
+        # pmean is the principled choice — docs/DEVIATIONS.md #6)
+        new_stats = dict(state.batch_stats)
+        new_stats["image_head"] = jax.lax.pmean(new_img_stats, axis)
+        metrics = jax.lax.pmean(metrics, axis)
+        return TrainState(params=new_params, batch_stats=new_stats,
+                          opt_state=new_opt, step=state.step + 1), metrics
+
+    state_specs = P()  # replicated
+    step = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(state_specs, P(axis), state_specs, state_specs),
+        out_specs=(state_specs, state_specs),
+        check_vma=False)
+    return jax.jit(step, donate_argnums=(0,))
