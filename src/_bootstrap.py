@@ -34,6 +34,8 @@ def parse_args(default_cfg: str, description: str):
     parser.add_argument("--bert_type", type=str, default=None,
                         help="override text arch (e.g. groupvit for smoke runs)")
     parser.add_argument("--compute_dtype", type=str, default=None)
+    parser.add_argument("--max_steps", type=int, default=None,
+                        help="cap steps per epoch (smoke runs)")
     args = parser.parse_args()
     return args
 

@@ -195,6 +195,7 @@ class TGFRConfig:
     compat_bert_caption_bug: bool = False  # reproduce utils/train_dataset.py:77-82 mispairing
     compat_frozen_text: bool = False       # reproduce the reference's no-grad text path
     synthetic: bool = False                # run on generated images/captions
+    max_steps: int = 0                     # >0: cap steps per epoch (smoke runs)
     compute_dtype: str = "bfloat16"        # backbone compute dtype; margin math stays fp32
     use_pallas: bool = False               # fused Pallas DAMSM kernel (see ops/damsm_pallas.py perf note)
 

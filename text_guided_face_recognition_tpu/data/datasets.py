@@ -245,8 +245,14 @@ class TrainDataset(_DatasetBase):
         self.word_num = (args.bert_words_num if args.en_type == "BERT"
                          else args.lstm_words_num)
         self.compat_bug = bool(getattr(args, "compat_bert_caption_bug", False))
-        self.class_id = load_class_id(os.path.join(self.data_dir, split)) \
-            if not self.synthetic else self._synthetic_class_ids(args)
+        # synthetic mode still prefers real identity metadata when present
+        # (real-captions runs: images unshipped, class pickles shipped)
+        try:
+            self.class_id = load_class_id(os.path.join(self.data_dir, split))
+        except (FileNotFoundError, OSError):
+            if not self.synthetic:
+                raise
+            self.class_id = self._synthetic_class_ids(args)
         self.rng = np.random.default_rng(seed)
 
     def _synthetic_class_ids(self, args) -> List[int]:

@@ -317,6 +317,8 @@ class Stage1Trainer:
             n += 1
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
+            if args.max_steps and n >= args.max_steps:
+                break
         dt = time.time() - t0
         total_len = n * args.batch_size
         out = {k: v / total_len for k, v in agg.items()}

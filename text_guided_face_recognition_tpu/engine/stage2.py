@@ -173,6 +173,8 @@ class FusionTrainer:
                                                    frozen, sub)
             total += float(metrics["loss"])
             n += 1
+            if args.max_steps and n >= args.max_steps:
+                break
         dt = time.time() - t0
         out = {"epoch": epoch, "loss": total / max(n * args.batch_size, 1),
                "steps": n,

@@ -42,7 +42,9 @@ def main():
             folder = os.path.join(args.images, ident)
             for f in sorted(os.listdir(folder)):
                 if f.lower().endswith(".jpg"):
-                    filenames.append(os.path.splitext(f)[0])
+                    # keys carry the identity dir: "<id>/<id>_<k>" (the
+                    # shipped pickles' format)
+                    filenames.append(f"{ident}/{os.path.splitext(f)[0]}")
                     class_info.append(int(ident))
         split_dir = os.path.join(args.out, split)
         os.makedirs(split_dir, exist_ok=True)
