@@ -117,6 +117,25 @@ def test_stage2_fusion_step_and_checkpoint_roundtrip(tmp_path):
             tr.state.params["fusion_net"])[0]))
 
 
+def test_stage1_save_state_resume_roundtrip(lstm_trainer, tmp_path):
+    tr = lstm_trainer
+    tr.lr = {"head": 0.002, "encoder": 0.001, "cls": 0.05}
+    tr._apply_lrs()
+    tr.save_state(str(tmp_path), epoch=7)
+
+    want = np.asarray(
+        jax.tree_util.tree_leaves(tr.state.params["image_head"])[0]).copy()
+    # perturb live state, then resume
+    tr.lr = {"head": 1.0, "encoder": 1.0, "cls": 1.0}
+    tr._apply_lrs()
+    tr.resume_from(str(tmp_path / "train_state_7"))
+    assert tr.start_epoch == 8
+    assert tr.lr["cls"] == pytest.approx(0.05)
+    got = np.asarray(
+        jax.tree_util.tree_leaves(tr.state.params["image_head"])[0])
+    np.testing.assert_allclose(got, want)
+
+
 def test_validate_concat_produces_scores(lstm_trainer, capsys):
     m = lstm_trainer.validate()
     assert 0.0 <= m["auc"] <= 1.0

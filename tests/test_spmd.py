@@ -88,3 +88,40 @@ def test_shardmap_8device_runs_and_agrees_modulo_bn(trainer, batch):
                     jax.tree_util.tree_leaves(spmd_state.params["image_cls"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0.2, atol=2e-4)
+
+
+def test_shardmap_fusion_step_matches_jit_1device():
+    from text_guided_face_recognition_tpu.engine.stage2 import FusionTrainer
+    from text_guided_face_recognition_tpu.parallel.spmd import (
+        make_shardmap_fusion_step)
+
+    args = TGFRConfig().replace(
+        en_type="LSTM", synthetic=True, batch_size=8, num_workers=2,
+        max_epoch=1, compute_dtype="float32", num_classes=16,
+        lstm_words_num=8, captions_per_image=2, manual_seed=0,
+        fusion_type="linear", CONFIG_NAME="Fusion",
+        compat_frozen_text=True)
+    tr = FusionTrainer(args)
+    batch = {k: v for k, v in next(iter(tr.train_dl)).items() if k != "key"}
+    rng = jax.random.PRNGKey(0)
+    frozen = tr.backbone.variables
+
+    jit_state, jit_m = tr._train_step(
+        jax.tree_util.tree_map(jnp.copy, tr.state), batch, frozen,
+        jax.random.fold_in(rng, 0))
+    step = make_shardmap_fusion_step(tr, make_mesh(1))
+    spmd_state, spmd_m = step(
+        jax.tree_util.tree_map(jnp.copy, tr.state), batch, frozen, rng)
+    assert float(spmd_m["loss"]) == pytest.approx(float(jit_m["loss"]),
+                                                  rel=1e-5)
+    for a, b in zip(
+            jax.tree_util.tree_leaves(jit_state.params["fusion_net"]),
+            jax.tree_util.tree_leaves(spmd_state.params["fusion_net"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # and it executes on the full 8-device mesh
+    step8 = make_shardmap_fusion_step(tr, make_mesh(8))
+    _, m8 = step8(jax.tree_util.tree_map(jnp.copy, tr.state), batch, frozen,
+                  rng)
+    assert np.isfinite(float(m8["loss"]))

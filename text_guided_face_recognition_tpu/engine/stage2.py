@@ -86,6 +86,23 @@ class FusionTrainer:
             optim.set_lr(self.state.opt_state, group, lr)
 
     def _build_train_step(self):
+        loss_fn = self.build_loss_fn()
+
+        def train_step(state: TrainState, batch, frozen_vars, rng):
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (_, (new_stats, metrics)), grads = grad_fn(
+                state.params, state.batch_stats, batch, frozen_vars, rng)
+            updates, new_opt = self.tx.update(grads, state.opt_state,
+                                              state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return TrainState(params=new_params, batch_stats=new_stats,
+                              opt_state=new_opt, step=state.step + 1), metrics
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def build_loss_fn(self):
+        """Stage-2 margin loss as a pure function (per-sample — no cross-batch
+        matrices, so SPMD needs only grad-pmean; parallel/spmd.py)."""
         args = self.args
         use_focal = args.model_type == "arcface" and args.loss == "focal_loss"
 
@@ -147,17 +164,7 @@ class FusionTrainer:
                              "batch_stats", batch_stats["fusion_net"])}
             return loss, (new_stats, {"loss": loss})
 
-        def train_step(state: TrainState, batch, frozen_vars, rng):
-            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-            (_, (new_stats, metrics)), grads = grad_fn(
-                state.params, state.batch_stats, batch, frozen_vars, rng)
-            updates, new_opt = self.tx.update(grads, state.opt_state,
-                                              state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            return TrainState(params=new_params, batch_stats=new_stats,
-                              opt_state=new_opt, step=state.step + 1), metrics
-
-        return jax.jit(train_step, donate_argnums=(0,))
+        return loss_fn
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         args = self.args
@@ -227,12 +234,44 @@ class FusionTrainer:
             f"{save_dir}/encoder_{args.en_type}_{args.fusion_type}_{epoch}",
             text_tree)
 
+    def save_state(self, save_dir: str, epoch: int):
+        """Full resumable state (the reference's resume loads a checkpoint
+        layout its save never writes: src/fusion_bert.py:158-163 vs
+        utils/utils.py:75-81; here resume is a first-class artifact)."""
+        save_checkpoint(f"{save_dir}/train_state_{epoch}", {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "meta": {"epoch": jnp.asarray(epoch),
+                     "lr": {k: jnp.asarray(v) for k, v in self.lr.items()}},
+        })
+
+    def resume_from(self, path: str):
+        from text_guided_face_recognition_tpu.engine.checkpoint import (
+            load_checkpoint)
+        like = {"params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state,
+                "meta": {"epoch": jnp.asarray(0),
+                         "lr": {k: jnp.asarray(v) for k, v in self.lr.items()}}}
+        tree = load_checkpoint(path, like=like)
+        self.state = TrainState(params=tree["params"],
+                                batch_stats=tree["batch_stats"],
+                                opt_state=tree["opt_state"],
+                                step=self.state.step)
+        self.lr = {k: float(v) for k, v in tree["meta"]["lr"].items()}
+        self._apply_lrs()
+        self.start_epoch = int(tree["meta"]["epoch"]) + 1
+        print("resumed from", path, "at epoch", self.start_epoch)
+
     def main(self):
         """Epoch loop (reference: src/fusion_bert.py:251-274)."""
         args = self.args
         save_dir = os.path.join(
             args.checkpoints_path, args.dataset_name, args.CONFIG_NAME,
             f"{args.en_type}_{args.model_type}", args.fusion_type)
+        if args.resume_model_path and args.resume_epoch > 1:
+            self.resume_from(args.resume_model_path)
         print("Start Training")
         for epoch in range(self.start_epoch, args.max_epoch + 1):
             args.current_epoch = epoch
@@ -240,6 +279,7 @@ class FusionTrainer:
             self.schedule_epoch_end(epoch)
             if epoch % args.save_interval == 0:
                 self.save_models(save_dir, epoch)
+                self.save_state(save_dir, epoch)
             if epoch > 20 and args.do_test and \
                     epoch % args.test_interval == 0:
                 print("\nLet's test the model")

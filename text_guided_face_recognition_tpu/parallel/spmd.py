@@ -89,3 +89,39 @@ def make_shardmap_train_step(trainer, mesh: Mesh, axis: str = "data"):
         out_specs=(state_specs, state_specs),
         check_vma=False)
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_shardmap_fusion_step(trainer, mesh: Mesh, axis: str = "data"):
+    """Explicit-SPMD stage-2 fusion step. The fusion loss is per-sample
+    (margin CE on the fused embedding — no cross-sample matrices), so this is
+    plain data parallelism: per-shard loss_fn, pmean of grads (each shard's
+    grad is the mean over its local rows; the equal-shard mean of means is the
+    full-batch mean), pmean of BN stats."""
+    args = trainer.args
+    # trainer's own loss_fn, rebuilt per shard via the private builder
+    loss_fn = trainer._loss_fn if hasattr(trainer, "_loss_fn") else None
+    if loss_fn is None:
+        # FusionTrainer keeps loss_fn inside _build_train_step; expose via
+        # a fresh build (identical closure)
+        loss_fn = trainer.build_loss_fn()
+
+    def per_shard(state: TrainState, batch, frozen_vars, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_stats, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, batch, frozen_vars, rng)
+        grads = jax.lax.pmean(grads, axis)
+        updates, new_opt = trainer.tx.update(grads, state.opt_state,
+                                             state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_stats = jax.lax.pmean(new_stats, axis)
+        metrics = jax.lax.pmean(metrics, axis)
+        return TrainState(params=new_params, batch_stats=new_stats,
+                          opt_state=new_opt, step=state.step + 1), metrics
+
+    step = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(), P(axis), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(step, donate_argnums=(0,))
