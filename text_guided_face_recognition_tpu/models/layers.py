@@ -133,6 +133,18 @@ class ScaledDotProductAttention(nn.Module):
         return context, attn
 
 
+class DotProductAttention(nn.Module):
+    """Unscaled dot-product attention (reference: models/fusion_nets.py:50-64;
+    unused by entry points, capability surface)."""
+
+    @nn.compact
+    def __call__(self, query, value):
+        score = jnp.einsum("bqd,bkd->bqk", query, value)
+        attn = nn.softmax(score.astype(jnp.float32), axis=-1).astype(value.dtype)
+        context = jnp.einsum("bqk,bkd->bqd", attn, value)
+        return context, attn
+
+
 class MultiHeadAttention(nn.Module):
     """Multi-head attention helper (reference: models/fusion_nets.py:122-159)."""
 
