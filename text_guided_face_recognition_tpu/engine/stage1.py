@@ -130,7 +130,8 @@ class Stage1Trainer:
         if self.is_bert:
             words_raw, _ = self.text_encoder.module.apply(
                 {"params": params["text_encoder"]},
-                batch["caps"], batch["mask"])
+                batch["caps"], batch["mask"], deterministic=False,
+                rngs={"dropout": rng})
             words_emb, sent_emb = self.text_head.module.apply(
                 {"params": params["text_head"]}, words_raw)
             word_mask = None  # fixed bert_words_num-2 valid words

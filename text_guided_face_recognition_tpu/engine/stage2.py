@@ -113,7 +113,8 @@ class FusionTrainer:
             if self.is_bert:
                 words_raw, _ = self.text_encoder.module.apply(
                     {"params": params["text_encoder"]},
-                    batch["caps"], batch["mask"])
+                    batch["caps"], batch["mask"], deterministic=False,
+                    rngs={"dropout": rng})
                 words_emb, sent_emb = self.text_head.module.apply(
                     {"params": params["text_head"]}, words_raw)
             else:

@@ -1,9 +1,22 @@
 from text_guided_face_recognition_tpu.models.layers import (  # noqa: F401
+    DotProductAttention,
+    LayerNormCHW,
+    MultiHeadAttention,
     PReLU,
     ProjectionHead,
+    ScaledDotProductAttention,
     SelfAttention2D,
-    LayerNormCHW,
+    TorchMultiheadAttention,
     l2_normalize,
+)
+from text_guided_face_recognition_tpu.models.legacy_attention import (  # noqa: F401
+    ChannelAttention,
+    SpatialAttention,
+)
+from text_guided_face_recognition_tpu.models.magface import (  # noqa: F401
+    SoftmaxBuilder,
+    mag_loss,
+    network_builder,
 )
 from text_guided_face_recognition_tpu.models.iresnet import (  # noqa: F401
     IResNet,

@@ -49,6 +49,7 @@ class TextArch:
     causal: bool = False
     act: str = "gelu"          # "gelu" | "quick_gelu"
     type_vocab: int = 2        # 0 disables token-type embeddings
+    dropout: float = 0.1       # hidden/attention dropout (train mode only)
 
 
 # Architecture table mirroring the HF checkpoints named in cfg/train_bert.yml:60-67.
@@ -75,7 +76,8 @@ class _SelfAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
         a = self.arch
         d_head = a.hidden // a.heads
         b, t, _ = x.shape
@@ -95,6 +97,9 @@ class _SelfAttention(nn.Module):
             score = jnp.where(causal[None, None], score, neg)
         score = jnp.where(att_mask, score, neg)
         probs = nn.softmax(score, axis=-1).astype(self.dtype)
+        if a.dropout:
+            probs = nn.Dropout(a.dropout, deterministic=deterministic,
+                               name="attn_drop")(probs)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
         out = out.reshape(b, t, a.hidden)
@@ -106,21 +111,31 @@ class _Block(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
         a = self.arch
         act = _act(a.act)
+
+        def drop(h, name):
+            if a.dropout:
+                return nn.Dropout(a.dropout, deterministic=deterministic,
+                                  name=name)(h)
+            return h
+
         if a.style == "postln":
-            h = _SelfAttention(a, self.dtype, name="attn")(x, mask)
+            h = _SelfAttention(a, self.dtype, name="attn")(x, mask,
+                                                           deterministic)
             x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
-                             name="attn_ln")(x + h)
+                             name="attn_ln")(x + drop(h, "attn_out_drop"))
             h = nn.Dense(a.intermediate, dtype=self.dtype, name="ffn_in")(x)
             h = act(h)
             h = nn.Dense(a.hidden, dtype=self.dtype, name="ffn_out")(h)
             x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
-                             name="ffn_ln")(x + h)
+                             name="ffn_ln")(x + drop(h, "ffn_drop"))
         else:  # preln (CLIP-style)
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="attn_ln")(x)
-            x = x + _SelfAttention(a, self.dtype, name="attn")(h, mask)
+            x = x + _SelfAttention(a, self.dtype, name="attn")(h, mask,
+                                                               deterministic)
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ffn_ln")(x)
             h = nn.Dense(a.intermediate, dtype=self.dtype, name="ffn_in")(h)
             h = act(h)
@@ -150,9 +165,13 @@ class TransformerEncoder(nn.Module):
                              name="type_emb")(jnp.zeros_like(input_ids))
         if a.style == "postln":
             x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="emb_ln")(x)
+        if a.dropout:
+            x = nn.Dropout(a.dropout, deterministic=deterministic,
+                           name="emb_drop")(x)
         mask = attention_mask.astype(bool)
         for i in range(a.layers):
-            x = _Block(a, self.dtype, name=f"layer_{i}")(x, mask)
+            x = _Block(a, self.dtype, name=f"layer_{i}")(x, mask,
+                                                         deterministic)
         if a.style == "preln":
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_ln")(x)
         return x

@@ -21,3 +21,10 @@ from text_guided_face_recognition_tpu.ops.margins import (  # noqa: F401
     mag_margin_logits,
     sphere_margin_logits,
 )
+from text_guided_face_recognition_tpu.ops.wra import (  # noqa: F401
+    word_region_alignment_loss,
+)
+from text_guided_face_recognition_tpu.ops.damsm_pallas import (  # noqa: F401
+    damsm_similarity_fused,
+    damsm_similarity_pallas,
+)
