@@ -117,6 +117,26 @@ def test_stage2_fusion_step_and_checkpoint_roundtrip(tmp_path):
             tr.state.params["fusion_net"])[0]))
 
 
+def test_stage1_bert_step_full_cocktail():
+    """BERT path (groupvit arch) with dropout + DAMSM/CLIP/ident losses."""
+    from text_guided_face_recognition_tpu.engine.stage1 import Stage1Trainer
+    args = _tiny_args(en_type="BERT", bert_type="groupvit", bert_words_num=12)
+    tr = Stage1Trainer(args)
+    batch = {k: v for k, v in next(iter(tr.train_dl)).items() if k != "key"}
+    before = {name: np.asarray(
+        jax.tree_util.tree_leaves(tr.state.params[name])[0]).copy()
+        for name in ("text_encoder", "text_head")}
+    state, metrics = tr._train_step(tr.state, batch, tr.backbone.variables,
+                                    jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"]))
+    for k in ("w_loss", "s_loss", "clip_loss", "idn_loss"):
+        assert np.isfinite(float(metrics[k])), k
+    # text encoder + text head both update (deviation #2 default)
+    for name in ("text_encoder", "text_head"):
+        b = jax.tree_util.tree_leaves(state.params[name])[0]
+        assert not np.allclose(before[name], np.asarray(b)), name
+
+
 def test_stage1_save_state_resume_roundtrip(lstm_trainer, tmp_path):
     tr = lstm_trainer
     tr.lr = {"head": 0.002, "encoder": 0.001, "cls": 0.05}

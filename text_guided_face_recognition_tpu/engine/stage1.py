@@ -47,6 +47,10 @@ from text_guided_face_recognition_tpu.engine.checkpoint import save_checkpoint
 from text_guided_face_recognition_tpu.engine.evaluate import validate_concat
 from text_guided_face_recognition_tpu.parallel import make_mesh, shard_batch
 from text_guided_face_recognition_tpu.utils.logging import MetricLogger
+from text_guided_face_recognition_tpu.utils.profiling import (
+    maybe_profile,
+    nan_guard,
+)
 
 __all__ = ["TrainState", "Stage1Trainer"]
 
@@ -313,11 +317,13 @@ class Stage1Trainer:
             self._dropout_key, sub = jax.random.split(self._dropout_key)
             device_batch = shard_batch(
                 {k: v for k, v in batch.items() if k != "key"}, self.mesh)
-            self.state, metrics = self._train_step(self.state, device_batch,
-                                                   frozen, sub)
+            with maybe_profile(args, n):
+                self.state, metrics = self._train_step(
+                    self.state, device_batch, frozen, sub)
             n += 1
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
+            nan_guard(metrics, step=n)
             if args.max_steps and n >= args.max_steps:
                 break
         dt = time.time() - t0

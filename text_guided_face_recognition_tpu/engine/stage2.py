@@ -32,6 +32,10 @@ from text_guided_face_recognition_tpu.engine.evaluate import run_test
 from text_guided_face_recognition_tpu.engine.stage1 import TrainState
 from text_guided_face_recognition_tpu.parallel import make_mesh, shard_batch
 from text_guided_face_recognition_tpu.utils.logging import MetricLogger
+from text_guided_face_recognition_tpu.utils.profiling import (
+    maybe_profile,
+    nan_guard,
+)
 
 __all__ = ["FusionTrainer"]
 
@@ -177,10 +181,12 @@ class FusionTrainer:
             self._dropout_key, sub = jax.random.split(self._dropout_key)
             device_batch = shard_batch(
                 {k: v for k, v in batch.items() if k != "key"}, self.mesh)
-            self.state, metrics = self._train_step(self.state, device_batch,
-                                                   frozen, sub)
+            with maybe_profile(args, n):
+                self.state, metrics = self._train_step(
+                    self.state, device_batch, frozen, sub)
             total += float(metrics["loss"])
             n += 1
+            nan_guard(metrics, step=n)
             if args.max_steps and n >= args.max_steps:
                 break
         dt = time.time() - t0
