@@ -10,9 +10,8 @@ score accumulation is host-side numpy.
 
 from __future__ import annotations
 
-import functools
 import os
-from typing import Any, Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -30,13 +30,11 @@ Reference quirks handled explicitly (see docs/DEVIATIONS.md):
 
 from __future__ import annotations
 
-import functools
 import time
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from flax import struct
 

@@ -14,7 +14,7 @@ Depth map (models/net.py:220-264): 18/34/50/100 use BasicBlockIR (512 ch out),
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, List, Tuple
+from typing import Any, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

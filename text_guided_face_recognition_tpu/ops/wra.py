@@ -23,8 +23,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from text_guided_face_recognition_tpu.ops.losses import cross_entropy_rows
-
 __all__ = ["word_region_alignment_loss"]
 
 

@@ -12,8 +12,6 @@ onto device 0 before every loss (SURVEY.md §2.12).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

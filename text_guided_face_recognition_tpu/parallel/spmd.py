@@ -20,13 +20,10 @@ Validated against the jit path on the 8-device CPU mesh (tests/test_spmd.py).
 
 from __future__ import annotations
 
-import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from text_guided_face_recognition_tpu.engine.stage1 import TrainState
 
