@@ -253,7 +253,13 @@ class TrainDataset(_DatasetBase):
             if not self.synthetic:
                 raise
             self.class_id = self._synthetic_class_ids(args)
-        self.rng = np.random.default_rng(seed)
+        # counter-based per-sample RNG: the DataLoader thread pool calls
+        # __getitem__ concurrently, so a shared RNG stream would make caption
+        # choice and augmentation depend on the thread schedule. Each call
+        # derives its generator from (seed, index, visit#) instead —
+        # deterministic for a given seed, fresh every epoch.
+        self.seed = seed
+        self._visits: Dict[int, int] = {}
 
     def _synthetic_class_ids(self, args) -> List[int]:
         n = len(self.filenames)
@@ -265,19 +271,21 @@ class TrainDataset(_DatasetBase):
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         key = self.filenames[index]
         cls_id = self.class_id[index]
+        visit = self._visits[index] = self._visits.get(index, -1) + 1
+        rng = np.random.default_rng((self.seed, index, visit))
         img = None
         if self.transform is None and not self.synthetic:
             path = os.path.join(self.data_dir, "images", self.split,
                                 key + ".jpg")
-            img = self._load_transformed(path, train=True, rng=self.rng)
+            img = self._load_transformed(path, train=True, rng=rng)
         if img is None:
             raw = self._get_image(key, self.split)
             if self.transform is not None:
                 img = self.transform(raw)
             else:
-                img = train_transform(raw, self.rng, self.model_type)
+                img = train_transform(raw, rng, self.model_type)
 
-        sent_ix = int(self.rng.integers(0, self.embeddings_num))
+        sent_ix = int(rng.integers(0, self.embeddings_num))
         new_sent_ix = index * self.embeddings_num + sent_ix
 
         if self.en_type == "BERT":
@@ -288,7 +296,7 @@ class TrainDataset(_DatasetBase):
                     "mask": _as_numpy_caption(self.att_masks[cap_index]),
                     "key": key, "cls_id": np.int32(cls_id)}
         caps, cap_len = self.pad_lstm_caption(self.captions[new_sent_ix],
-                                              self.rng)
+                                              rng)
         return {"img": img, "caps": caps, "cap_len": np.int32(cap_len),
                 "key": key, "cls_id": np.int32(cls_id)}
 
@@ -366,12 +374,13 @@ class TestDataset(_DatasetBase):
             img_names = [os.path.join(n.split("_")[0], n) for n in imgs]
         keys = [n[:-4] for n in img_names]
 
+        rng = np.random.default_rng((0, index))
         sample: Dict[str, np.ndarray] = {"pair_label": np.int32(pair_label)}
         for slot, (name, key) in enumerate(zip(img_names, keys), start=1):
             img = None
             path = os.path.join(self.data_dir, "images", self.split, name)
             if self.transform is None and not self.synthetic:
-                img = self._load_transformed(path, train=False, rng=self.rng)
+                img = self._load_transformed(path, train=False, rng=rng)
             if img is None:
                 if self.synthetic:
                     raw = _synthetic_image(key, self.img_size)
@@ -389,7 +398,7 @@ class TestDataset(_DatasetBase):
                     self.att_masks[new_sent_ix])
             else:
                 caps, cap_len = self.pad_lstm_caption(
-                    self.captions[new_sent_ix], self.rng)
+                    self.captions[new_sent_ix], rng)
                 sample[f"cap{slot}"] = caps
                 sample[f"cap_len{slot}"] = np.int32(cap_len)
         return sample
