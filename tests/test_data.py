@@ -109,6 +109,38 @@ def test_test_dataset_synthetic_pairs_and_loader(tmp_path):
     assert batches[0]["cap1"].shape == (8, 6)
 
 
+def test_bert_cache_reads_reference_torch_format(tmp_path):
+    """load_text_data_bert must accept the reference's torch-tensor pickle
+    layout (utils/dataset_utils.py:195-198) as well as our numpy layout."""
+    import pickle
+    import torch
+    from text_guided_face_recognition_tpu.data import load_text_data_bert
+
+    # minimal split metadata
+    for split, n in (("train", 2), ("valid", 1), ("test", 1)):
+        d = tmp_path / split
+        d.mkdir()
+        with open(d / "filenames.pickle", "wb") as f:
+            pickle.dump([f"{split}{i}_0" for i in range(n)], f)
+
+    def torch_caps(n):
+        return ([torch.arange(8, dtype=torch.long) + i for i in range(n * 2)],
+                [torch.ones(8, dtype=torch.long) for _ in range(n * 2)])
+
+    tr_c, tr_m = torch_caps(2)
+    va_c, va_m = torch_caps(1)
+    te_c, te_m = torch_caps(1)
+    with open(tmp_path / "captions_bert.pickle", "wb") as f:
+        pickle.dump([tr_c, tr_m, va_c, va_m, te_c, te_m], f, protocol=2)
+
+    args = _mk_args(tmp_path, "BERT")
+    out = load_text_data_bert(str(tmp_path), args)
+    names, caps, masks = out[0], out[1], out[2]
+    assert names == ["train0_0", "train1_0"]
+    assert caps[1].dtype == np.int32 and caps[1].shape == (8,)
+    np.testing.assert_array_equal(caps[1], np.arange(8) + 1)
+
+
 def test_dataloader_shuffle_drop_last(tmp_path):
     args = _mk_args(tmp_path)
     names = [f"id{i}_0" for i in range(10)]
