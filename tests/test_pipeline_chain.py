@@ -1,0 +1,82 @@
+"""Full two-stage pipeline integration: stage-1 trains and saves its
+two-artifact checkpoints; stage-2 LOADS them, trains, and saves its own;
+the eval layer LOADS stage-2's artifacts and produces scores — the checkpoint
+hand-off the reference performs across its three entry points
+(src/train_encoders_*.py -> src/fusion_*.py -> src/test.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from text_guided_face_recognition_tpu.config import TGFRConfig
+
+
+def _args(tmp, **kw):
+    base = dict(
+        en_type="LSTM", synthetic=True, batch_size=4, num_workers=2,
+        max_epoch=1, max_steps=2, compute_dtype="float32", num_classes=16,
+        lstm_words_num=8, captions_per_image=2, manual_seed=0,
+        checkpoints_path=str(tmp), fusion_type="linear",
+        fusion_final_dim=640, save_interval=1, test_interval=99,
+        lambda_clip=1.0, do_test=False)
+    base.update(kw)
+    return TGFRConfig().replace(**base)
+
+
+def test_two_stage_checkpoint_handoff(tmp_path):
+    from text_guided_face_recognition_tpu.engine.stage1 import Stage1Trainer
+    from text_guided_face_recognition_tpu.engine.stage2 import FusionTrainer
+    from text_guided_face_recognition_tpu.engine import prepare as prep
+    from text_guided_face_recognition_tpu.engine.evaluate import run_test
+
+    # ---- stage 1: train 2 steps, save the two-artifact checkpoints
+    a1 = _args(tmp_path, CONFIG_NAME="Train")
+    tr1 = Stage1Trainer(a1)
+    tr1.train_epoch(1)
+    s1_dir = str(tmp_path / "s1")
+    tr1.save_encoders(s1_dir, epoch=1)
+    text_ckpt = f"{s1_dir}/LSTM_text_encoder_1"
+    image_ckpt = f"{s1_dir}/arcface_image_encoder_1"
+    assert os.path.isdir(text_ckpt) and os.path.isdir(image_ckpt)
+    s1_text_leaf = np.asarray(jax.tree_util.tree_leaves(
+        tr1.state.params["text_encoder"])[0])
+
+    # ---- stage 2: must LOAD stage-1 weights (not random init)
+    a2 = _args(tmp_path, CONFIG_NAME="Fusion",
+               text_encoder_path=text_ckpt, image_encoder_path=image_ckpt)
+    tr2 = FusionTrainer(a2)
+    loaded_leaf = np.asarray(jax.tree_util.tree_leaves(
+        tr2.state.params["text_encoder"])[0])
+    np.testing.assert_allclose(loaded_leaf, s1_text_leaf)
+    tr2.train_epoch(1)
+    s2_dir = str(tmp_path / "s2")
+    tr2.save_models(s2_dir, epoch=1)
+    fusion_ckpt = f"{s2_dir}/fusion_linear_arcface_1"
+    encoder_ckpt = f"{s2_dir}/encoder_LSTM_linear_1"
+
+    # ---- eval: prepare_* must load stage-2's bundled artifacts (partial
+    # restore: the fusion file holds both 'net' and 'image_head')
+    a3 = _args(tmp_path, CONFIG_NAME="Fusion",
+               text_encoder_path=encoder_ckpt,
+               image_encoder_path=fusion_ckpt,
+               fusion_net_path=fusion_ckpt, is_ident=False, is_roc=False)
+    test_dl, test_ds = prep.prepare_dataloader(a3, "test")
+    a3.vocab_size = test_ds.n_words
+    text_encoder, text_head = prep.prepare_text_encoder(a3)
+    backbone = prep.prepare_backbone(a3)
+    image_head = prep.prepare_image_head(a3)
+    fusion_net = prep.prepare_fusion_net(a3)
+
+    # loaded fusion params equal stage-2's trained params
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(
+            fusion_net.variables["params"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(
+            tr2.state.params["fusion_net"])[0]))
+
+    m = run_test(a3, test_dl, backbone, image_head, fusion_net,
+                 text_encoder, text_head)
+    assert 0.0 <= m["auc"] <= 1.0

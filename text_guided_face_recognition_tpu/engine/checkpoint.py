@@ -37,12 +37,29 @@ def checkpoint_exists(path: str) -> bool:
     return os.path.isdir(path) and bool(os.listdir(path))
 
 
-def load_checkpoint(path: str, like: Optional[Dict[str, Any]] = None
-                    ) -> Dict[str, Any]:
+def load_checkpoint(path: str, like: Optional[Dict[str, Any]] = None,
+                    partial: bool = False) -> Dict[str, Any]:
     """Restore a pytree; when `like` is given, restores with matching
-    structure/dtypes (needed for sharded/typed restore)."""
+    structure/dtypes (needed for sharded/typed restore).
+
+    partial=True restores only the keys present in `like` — needed because
+    the stage artifacts keep the reference's bundled layouts (e.g. the fusion
+    checkpoint holds both 'net' and 'image_head':
+    src/fusion_bert.py:180-182) while each prepare_* factory loads only its
+    own subtree."""
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     if like is None:
         return ckptr.restore(path)
+    if partial:
+        import jax
+        import jax.numpy as jnp
+        full = ckptr.restore(path)
+        missing = [k for k in like if k not in full]
+        if missing:
+            raise KeyError(f"checkpoint {path} lacks keys {missing}; "
+                           f"has {list(full)}")
+        return {k: jax.tree_util.tree_map(
+                    lambda a, b: jnp.asarray(b, a.dtype), like[k], full[k])
+                for k in like}
     return ckptr.restore(path, target=like)

@@ -167,7 +167,8 @@ def prepare_text_encoder(args, load: bool = True
                 print("converted HF torch text encoder:", path)
             elif ckpt.checkpoint_exists(path):
                 tree = ckpt.load_checkpoint(
-                    path, like={"model": enc_vars, "head": head_vars})
+                    path, like={"model": enc_vars, "head": head_vars},
+                    partial=True)
                 enc_vars, head_vars = tree["model"], tree["head"]
                 print("loading text encoder weights:", path)
             else:
@@ -185,7 +186,7 @@ def prepare_text_encoder(args, load: bool = True
     if load and args.text_encoder_path and \
             ckpt.checkpoint_exists(args.text_encoder_path):
         tree = ckpt.load_checkpoint(args.text_encoder_path,
-                                    like={"model": enc_vars})
+                                    like={"model": enc_vars}, partial=True)
         enc_vars = tree["model"]
         print("loading text encoder weights:", args.text_encoder_path)
     return Bundle(enc, enc_vars), None
@@ -201,7 +202,8 @@ def prepare_image_head(args, load: bool = True) -> Bundle:
     if load and args.image_encoder_path and \
             ckpt.checkpoint_exists(args.image_encoder_path):
         tree = ckpt.load_checkpoint(args.image_encoder_path,
-                                    like={"image_head": variables})
+                                    like={"image_head": variables},
+                                    partial=True)
         variables = tree["image_head"]
         print("loading image encoder:", args.image_encoder_path)
     elif load and args.image_encoder_path:
@@ -236,7 +238,7 @@ def prepare_fusion_net(args, load: bool = True) -> Optional[Bundle]:
     if load and args.fusion_net_path and \
             ckpt.checkpoint_exists(args.fusion_net_path):
         tree = ckpt.load_checkpoint(args.fusion_net_path,
-                                    like={"net": variables})
+                                    like={"net": variables}, partial=True)
         variables = tree["net"]
         print("loading fusion checkpoint:", args.fusion_net_path)
     return Bundle(net, variables)

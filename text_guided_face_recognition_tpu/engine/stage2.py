@@ -30,7 +30,10 @@ from text_guided_face_recognition_tpu.engine import prepare as prep
 from text_guided_face_recognition_tpu.engine.checkpoint import save_checkpoint
 from text_guided_face_recognition_tpu.engine.evaluate import run_test
 from text_guided_face_recognition_tpu.engine.stage1 import TrainState
-from text_guided_face_recognition_tpu.parallel import make_mesh, shard_batch
+from text_guided_face_recognition_tpu.parallel import (
+    make_data_mesh,
+    shard_batch,
+)
 from text_guided_face_recognition_tpu.utils.logging import MetricLogger
 from text_guided_face_recognition_tpu.utils.profiling import (
     maybe_profile,
@@ -79,8 +82,7 @@ class FusionTrainer:
         self.lr = {"cls": float(args.lr_image_train), "encoder": 1e-5,
                    "head": float(args.lr_head)}
         self._apply_lrs()
-        self.mesh = make_mesh(args.num_devices) if jax.device_count() > 1 \
-            else None
+        self.mesh = make_data_mesh(args.num_devices, args.batch_size)
         self._train_step = self._build_train_step()
         self.start_epoch = 1
         self._dropout_key = jax.random.PRNGKey(args.manual_seed + 2)

@@ -1,5 +1,6 @@
 from text_guided_face_recognition_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
+    make_data_mesh,
     make_mesh,
     replicated,
     shard_batch,

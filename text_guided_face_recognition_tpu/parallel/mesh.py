@@ -43,6 +43,19 @@ def make_mesh(num_devices: int = 0,
     return Mesh(arr, axis_names)
 
 
+def make_data_mesh(num_devices: int, batch_size: int) -> Optional[Mesh]:
+    """Data mesh whose size divides the batch (sharding requires it); None
+    when only one device would be used."""
+    avail = len(jax.devices())
+    n = num_devices if num_devices and num_devices > 0 else avail
+    n = min(n, avail)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    if n <= 1:
+        return None
+    return make_mesh(n)
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Leading-axis sharding for per-sample arrays."""
     return NamedSharding(mesh, P(axis))
