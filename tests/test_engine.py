@@ -148,6 +148,15 @@ def test_stage1_adaface_backbone_path():
     assert np.isfinite(float(metrics["total_loss"]))
 
 
+def test_stage1_magface_backbone_path():
+    from text_guided_face_recognition_tpu.engine.stage1 import Stage1Trainer
+    tr = Stage1Trainer(_tiny_args(model_type="magface"))
+    batch = {k: v for k, v in next(iter(tr.train_dl)).items() if k != "key"}
+    _, metrics = tr._train_step(tr.state, batch, tr.backbone.variables,
+                                jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
 def test_stage1_gru_encoder_path():
     from text_guided_face_recognition_tpu.engine.stage1 import Stage1Trainer
     tr = Stage1Trainer(_tiny_args(en_type="GRU"))
