@@ -80,3 +80,30 @@ def test_two_stage_checkpoint_handoff(tmp_path):
     m = run_test(a3, test_dl, backbone, image_head, fusion_net,
                  text_encoder, text_head)
     assert 0.0 <= m["auc"] <= 1.0
+
+
+def test_bert_fcfm_checkpoint_handoff(tmp_path):
+    """BERT variant: the text checkpoint carries BOTH 'model' and 'head'
+    subtrees, and stage-2 runs the FCFM fusion net."""
+    from text_guided_face_recognition_tpu.engine.stage1 import Stage1Trainer
+    from text_guided_face_recognition_tpu.engine.stage2 import FusionTrainer
+
+    a1 = _args(tmp_path, CONFIG_NAME="Train", en_type="BERT",
+               bert_type="groupvit", bert_words_num=12)
+    tr1 = Stage1Trainer(a1)
+    tr1.train_epoch(1)
+    s1 = str(tmp_path / "s1")
+    tr1.save_encoders(s1, epoch=1)
+
+    a2 = _args(tmp_path, CONFIG_NAME="Fusion", en_type="BERT",
+               bert_type="groupvit", bert_words_num=12, fusion_type="fcfm",
+               text_encoder_path=f"{s1}/groupvit_text_encoder_1",
+               image_encoder_path=f"{s1}/arcface_image_encoder_1")
+    tr2 = FusionTrainer(a2)
+    # text encoder AND text head must carry stage-1 weights
+    for name in ("text_encoder", "text_head"):
+        a = np.asarray(jax.tree_util.tree_leaves(tr1.state.params[name])[0])
+        b = np.asarray(jax.tree_util.tree_leaves(tr2.state.params[name])[0])
+        np.testing.assert_allclose(a, b, err_msg=name)
+    m = tr2.train_epoch(1)
+    assert np.isfinite(m["loss"])
