@@ -167,7 +167,8 @@ class Stage1Trainer:
         args = self.args
         train_text = not args.compat_frozen_text
 
-        def train_step(state: TrainState, batch, frozen_vars, rng):
+        def train_step(state: TrainState, batch, frozen_vars, rng,
+                       metric_acc=None):
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (_, (new_img_stats, metrics)), grads = grad_fn(
                 state.params, state.batch_stats, batch, frozen_vars, rng)
@@ -186,6 +187,10 @@ class Stage1Trainer:
             new_params = optax.apply_updates(state.params, updates)
             new_stats = dict(state.batch_stats)
             new_stats["image_head"] = new_img_stats
+            if metric_acc is not None:
+                # device-side running sums: the epoch loop never syncs on
+                # per-step metrics (each host read is an RPC round trip)
+                metrics = jax.tree_util.tree_map(jnp.add, metric_acc, metrics)
             return TrainState(params=new_params, batch_stats=new_stats,
                               opt_state=new_opt, step=state.step + 1), metrics
 
@@ -309,23 +314,22 @@ class Stage1Trainer:
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         args = self.args
-        agg: Dict[str, float] = {}
         n = 0
         t0 = time.time()
         frozen = self.backbone.variables
+        acc = None
         for batch in self.train_dl:
             self._dropout_key, sub = jax.random.split(self._dropout_key)
             device_batch = shard_batch(
                 {k: v for k, v in batch.items() if k != "key"}, self.mesh)
             with maybe_profile(args, n):
-                self.state, metrics = self._train_step(
-                    self.state, device_batch, frozen, sub)
+                self.state, acc = self._train_step(
+                    self.state, device_batch, frozen, sub, acc)
             n += 1
-            for k, v in metrics.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
-            nan_guard(metrics, step=n)
             if args.max_steps and n >= args.max_steps:
                 break
+        agg = {k: float(v) for k, v in (acc or {}).items()}  # one sync/epoch
+        nan_guard(agg, step=n)
         dt = time.time() - t0
         total_len = n * args.batch_size
         out = {k: v / total_len for k, v in agg.items()}

@@ -94,13 +94,16 @@ class FusionTrainer:
     def _build_train_step(self):
         loss_fn = self.build_loss_fn()
 
-        def train_step(state: TrainState, batch, frozen_vars, rng):
+        def train_step(state: TrainState, batch, frozen_vars, rng,
+                       metric_acc=None):
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (_, (new_stats, metrics)), grads = grad_fn(
                 state.params, state.batch_stats, batch, frozen_vars, rng)
             updates, new_opt = self.tx.update(grads, state.opt_state,
                                               state.params)
             new_params = optax.apply_updates(state.params, updates)
+            if metric_acc is not None:
+                metrics = jax.tree_util.tree_map(jnp.add, metric_acc, metrics)
             return TrainState(params=new_params, batch_stats=new_stats,
                               opt_state=new_opt, step=state.step + 1), metrics
 
@@ -175,22 +178,22 @@ class FusionTrainer:
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         args = self.args
-        total = 0.0
         n = 0
         t0 = time.time()
         frozen = self.backbone.variables
+        acc = None
         for batch in self.train_dl:
             self._dropout_key, sub = jax.random.split(self._dropout_key)
             device_batch = shard_batch(
                 {k: v for k, v in batch.items() if k != "key"}, self.mesh)
             with maybe_profile(args, n):
-                self.state, metrics = self._train_step(
-                    self.state, device_batch, frozen, sub)
-            total += float(metrics["loss"])
+                self.state, acc = self._train_step(
+                    self.state, device_batch, frozen, sub, acc)
             n += 1
-            nan_guard(metrics, step=n)
             if args.max_steps and n >= args.max_steps:
                 break
+        total = float(acc["loss"]) if acc is not None else 0.0
+        nan_guard({"loss": total}, step=n)
         dt = time.time() - t0
         out = {"epoch": epoch, "loss": total / max(n * args.batch_size, 1),
                "steps": n,
