@@ -2,6 +2,10 @@
 identical first-step losses across independent trainer instantiations (the
 documented seeding scheme — SURVEY.md §7 hard part 5)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 import jax

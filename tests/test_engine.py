@@ -2,6 +2,10 @@
 train step (loss decreases, params update, state donated), a stage-2 fusion
 step, checkpoint round-trip, and the multi-device sharded step."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 

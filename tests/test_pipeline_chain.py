@@ -4,6 +4,10 @@ the eval layer LOADS stage-2's artifacts and produces scores — the checkpoint
 hand-off the reference performs across its three entry points
 (src/train_encoders_*.py -> src/fusion_*.py -> src/test.py)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import os
 
 import numpy as np

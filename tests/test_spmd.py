@@ -7,6 +7,10 @@ expected per-replica-vs-global BatchNorm statistics difference (the shard_map
 path normalizes with per-shard batch stats — the reference DataParallel
 behavior; the jit path uses global-batch stats — docs/DEVIATIONS.md #6)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 
