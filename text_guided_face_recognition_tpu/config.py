@@ -196,6 +196,7 @@ class TGFRConfig:
     compat_frozen_text: bool = False       # reproduce the reference's no-grad text path
     synthetic: bool = False                # run on generated images/captions
     max_steps: int = 0                     # >0: cap steps per epoch (smoke runs)
+    keep_last_ckpts: int = 0               # >0: retain only the newest K epoch artifacts
     compute_dtype: str = "bfloat16"        # backbone compute dtype; margin math stays fp32
     use_pallas: bool = False               # fused Pallas DAMSM kernel (see ops/damsm_pallas.py perf note)
 

@@ -21,7 +21,8 @@ from typing import Any, Dict, Optional
 
 import orbax.checkpoint as ocp
 
-__all__ = ["save_checkpoint", "load_checkpoint", "checkpoint_exists"]
+__all__ = ["save_checkpoint", "load_checkpoint", "checkpoint_exists",
+           "prune_checkpoints"]
 
 
 def save_checkpoint(path: str, tree: Dict[str, Any]) -> str:
@@ -63,3 +64,25 @@ def load_checkpoint(path: str, like: Optional[Dict[str, Any]] = None,
                     lambda a, b: jnp.asarray(b, a.dtype), like[k], full[k])
                 for k in like}
     return ckptr.restore(path, target=like)
+
+
+def prune_checkpoints(save_dir: str, keep_last: int) -> None:
+    """Retain only the newest `keep_last` epochs of each artifact family in
+    `save_dir` (names end in `_<epoch>`). keep_last <= 0 keeps everything —
+    the reference behavior (it never prunes; a 36-epoch run accumulates
+    ~900 MB of per-epoch state)."""
+    import re
+    import shutil
+    from collections import defaultdict
+
+    if keep_last <= 0 or not os.path.isdir(save_dir):
+        return
+    families = defaultdict(list)
+    for name in os.listdir(save_dir):
+        m = re.match(r"^(.*)_(\d+)$", name)
+        if m and os.path.isdir(os.path.join(save_dir, name)):
+            families[m.group(1)].append((int(m.group(2)), name))
+    for fam, entries in families.items():
+        entries.sort()
+        for _epoch, name in entries[:-keep_last]:
+            shutil.rmtree(os.path.join(save_dir, name), ignore_errors=True)

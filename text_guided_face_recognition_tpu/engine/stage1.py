@@ -424,6 +424,9 @@ class Stage1Trainer:
                 print("saving image and text encoder\n")
                 self.save_encoders(save_dir, epoch)
                 self.save_state(save_dir, epoch)
+                from text_guided_face_recognition_tpu.engine.checkpoint \
+                    import prune_checkpoints
+                prune_checkpoints(save_dir, args.keep_last_ckpts)
             if epoch > 12 and epoch % args.test_interval == 0:
                 print("start validating")
                 self.validate()

@@ -292,6 +292,9 @@ class FusionTrainer:
             if epoch % args.save_interval == 0:
                 self.save_models(save_dir, epoch)
                 self.save_state(save_dir, epoch)
+                from text_guided_face_recognition_tpu.engine.checkpoint \
+                    import prune_checkpoints
+                prune_checkpoints(save_dir, args.keep_last_ckpts)
             if epoch > 20 and args.do_test and \
                     epoch % args.test_interval == 0:
                 print("\nLet's test the model")
