@@ -26,7 +26,15 @@ from typing import Any, Dict, Tuple
 import numpy as np
 
 __all__ = ["load_torch_state_dict", "convert_iresnet", "convert_irbackbone",
-           "convert_magface", "convert_bert_encoder"]
+           "convert_magface", "convert_bert_encoder", "convert_text_heading",
+           "convert_image_heading", "convert_fcfm", "convert_linear_fusion",
+           "convert_wordlevel_cfa", "convert_text_encoder_bundle"]
+
+
+def _strip_module(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Drop nn.DataParallel's 'module.' key prefix (reference wraps every
+    trained module in DataParallel: utils/prepare.py:17-22,43)."""
+    return {re.sub(r"^module\.", "", k): v for k, v in sd.items()}
 
 
 def load_torch_state_dict(path: str, key: str | None = None) -> Dict[str, np.ndarray]:
@@ -200,3 +208,129 @@ def convert_bert_encoder(sd: Dict[str, np.ndarray], num_layers: int = 12
                        "bias": sd[f"{t}.output.LayerNorm.bias"]},
         }
     return {"params": p}
+
+
+# ------------------------------------------------------ trained-head layers --
+# Converters for the reference's *trained* checkpoints (stage-1/stage-2 head
+# bundles saved by src/train_encoders_bert.py:59-80 and src/fusion_bert.py:
+# 166-191), so real reference training artifacts load into this framework.
+
+def _dense_from_conv1x1(sd, name):
+    """torch Conv2d(C_in, C_out, 1) -> flax Dense over the channel axis."""
+    w = sd[f"{name}.weight"]                      # (O, I, 1, 1)
+    return {"kernel": w[:, :, 0, 0].T, "bias": sd[f"{name}.bias"]}
+
+
+def _ln(sd, name):
+    return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+
+def _ln_chw(sd, name):
+    """torch LayerNorm([C, H, W]) affine -> our LayerNormCHW (H, W, C)."""
+    return {"scale": sd[f"{name}.weight"].transpose(1, 2, 0),
+            "bias": sd[f"{name}.bias"].transpose(1, 2, 0)}
+
+
+def _sa(sd, name):
+    """reference SelfAttention (models/fusion_nets.py:82-118): three 1x1
+    convs -> our SelfAttention2D Dense projections."""
+    return {"query_proj": _dense_from_conv1x1(sd, f"{name}.query_proj"),
+            "key_proj": _dense_from_conv1x1(sd, f"{name}.key_proj"),
+            "value_proj": _dense_from_conv1x1(sd, f"{name}.value_proj")}
+
+
+def convert_text_heading(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """reference TextHeading (models/models.py:187-232): Bert_Word_Mapping's
+    Conv2d(1, F, (K, E)) kernels -> our window-stacked GEMM kernels.
+
+    Conv2d weight (F, 1, K, E) contracts token-window x embedding; our window
+    stacking orders features as [offset0-emb, offset1-emb, ...] = row k*E+e,
+    exactly torch's (K, E) row-major flatten."""
+    sd = _strip_module(sd)
+    p: Dict[str, Any] = {"bwm": {}}
+    for idx, K in enumerate((2, 3, 4)):
+        w = sd[f"bwm.convs1.{idx}.weight"]        # (F, 1, K, E)
+        f = w.shape[0]
+        p["bwm"][f"conv_k{K}"] = {
+            "kernel": w.reshape(f, -1).T,          # (K*E, F)
+            "bias": sd[f"bwm.convs1.{idx}.bias"],
+        }
+    return {"params": p}
+
+
+def convert_image_heading(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """reference ImageHeading + IMIM (models/models.py:328-405)."""
+    sd = _strip_module(sd)
+    imim: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    imim["bn_img"], stats["bn_img"] = _bn(sd, "imim.bn_img")
+    imim["sa"] = _sa(sd, "imim.sa")
+    imim["ln"] = _ln_chw(sd, "imim.ln")
+    imim["conv1x1_1"] = {"kernel": _conv(sd, "imim.conv1x1_1"),
+                         "bias": sd["imim.conv1x1_1.bias"]}
+    imim["conv1x1_2"] = {"kernel": _conv(sd, "imim.conv1x1_2"),
+                         "bias": sd["imim.conv1x1_2.bias"]}
+    imim["project_local"] = {
+        "projection": _dense(sd, "imim.project_local.projection")}
+    params = {
+        "imim": imim,
+        "project_global": {
+            "projection": _dense(sd, "project_global.projection")},
+    }
+    return {"params": params, "batch_stats": {"imim": stats}}
+
+
+def convert_fcfm(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """reference `Working` FCFM (models/fusion_nets.py:217-258). The 324->128
+    linear eats a flattened NCHW (36,3,3) map; our FCFM transposes to NCHW
+    order before flattening (models/fusion.py), so the kernel converts as a
+    plain dense."""
+    sd = _strip_module(sd)
+    params: Dict[str, Any] = {
+        "conv": {"kernel": _conv(sd, "conv"), "bias": sd["conv.bias"]},
+        "projection": _dense(sd, "projection"),
+        "sa": _sa(sd, "sa"),
+        "linear": _dense(sd, "linear"),
+        "ln": _ln_chw(sd, "ln"),
+        "ln_gl_image": _ln(sd, "ln_gl_image"),
+        "ln_sent": _ln(sd, "ln_sent"),
+    }
+    stats: Dict[str, Any] = {}
+    params["bn_img"], stats["bn_img"] = _bn(sd, "bn_img")
+    params["bn_word"], stats["bn_word"] = _bn(sd, "bn_word")
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_linear_fusion(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """reference LinearFusion (models/fusion_nets.py:68-79). Its `ln` member
+    is dead (never called in forward) and is dropped."""
+    sd = _strip_module(sd)
+    return {"params": {"fc1": _dense(sd, "fc1")}}
+
+
+def convert_wordlevel_cfa(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """reference WordLevelCFA_LSTM (models/fusion_nets.py:260-291). Its
+    `conv`/`bn_img` members are dead (never called in forward) and dropped;
+    ln1 converts even though its output is discarded (quirk preserved in our
+    module)."""
+    sd = _strip_module(sd)
+    return {"params": {
+        "sa": _sa(sd, "sa"),
+        "ln1": _ln_chw(sd, "ln1"),
+        "ln2": _ln_chw(sd, "ln2"),
+        "linear": _dense(sd, "linear"),
+    }}
+
+
+def convert_text_encoder_bundle(sd: Dict[str, np.ndarray],
+                                bert_type: str = "bert") -> Dict[str, Any]:
+    """reference TextEncoder state_dict (models/models.py:144-151 wraps the HF
+    model under 'model.') -> our TextEncoder tree ({'params': {'model': ...}})."""
+    sd = _strip_module(sd)
+    sd = {re.sub(r"^model\.", "", k): v for k, v in sd.items()}
+    if bert_type in ("bert", "align", "blip", "falva"):
+        inner = convert_bert_encoder(sd)["params"]
+    else:
+        raise NotImplementedError(
+            f"no converter yet for bert_type={bert_type!r}")
+    return {"params": {"model": inner}}

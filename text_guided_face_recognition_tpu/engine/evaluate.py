@@ -4,12 +4,18 @@ Behavioral ports of the reference eval layer (reference: utils/modules.py:92-168
 `test`, src/train_encoders_bert.py:348-395 `Train.test`,
 src/org_face_test.py:17-58): encode caption pairs, run the frozen backbone +
 image head, fuse (concat | linear | fcfm), cosine-score the pairs, and report
-AUC/EER/TPR@FPR (+rank-1 identification). Per-batch forwards are jitted once;
-score accumulation is host-side numpy.
+AUC/EER/TPR@FPR (+rank-1 identification). Score accumulation is host-side numpy.
+
+Tracing note: the per-batch forwards are MODULE-LEVEL jitted functions whose
+static arguments are the flax modules themselves (hashable by value) and the
+config strings that pick the graph; parameters/variables are traced arguments.
+Repeated validation calls during training therefore hit jax's own trace cache
+instead of re-tracing a fresh closure every call.
 """
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Dict
 
@@ -27,16 +33,18 @@ __all__ = ["validate_concat", "run_test", "org_face_test", "cosine_pairs"]
 
 def cosine_pairs(out1: jnp.ndarray, out2: jnp.ndarray,
                  eps: float = 1e-6) -> jnp.ndarray:
-    """torch nn.CosineSimilarity(dim=1, eps=1e-6) equivalent."""
+    """torch nn.CosineSimilarity(dim=1, eps=1e-6) equivalent: each norm is
+    clamped to eps separately (torch's per-vector clamp semantics)."""
     n1 = jnp.linalg.norm(out1, axis=1)
     n2 = jnp.linalg.norm(out2, axis=1)
-    return jnp.sum(out1 * out2, axis=1) / jnp.maximum(n1 * n2, eps * eps)
+    return jnp.sum(out1 * out2, axis=1) / (jnp.maximum(n1, eps) *
+                                           jnp.maximum(n2, eps))
 
 
-def _encode_text(args, text_encoder, te_params, text_head, th_params,
+def _encode_text(en_type, text_encoder, te_params, text_head, th_params,
                  caps, extra):
     """extra = attention mask (BERT) or cap_len (LSTM)."""
-    if args.en_type == "BERT":
+    if en_type == "BERT":
         words_raw, _ = text_encoder.apply({"params": te_params}, caps, extra)
         words_emb, sent_emb = text_head.apply({"params": th_params}, words_raw)
     else:
@@ -45,13 +53,69 @@ def _encode_text(args, text_encoder, te_params, text_head, th_params,
     return words_emb, sent_emb
 
 
-def _backbone_feats(args, backbone, frozen_vars, img):
-    out = backbone.module.apply(frozen_vars, img, train=False)
-    if args.model_type == "adaface":
+def _backbone_feats(model_type, backbone_mod, frozen_vars, img):
+    out = backbone_mod.apply(frozen_vars, img, train=False)
+    if model_type == "adaface":
         gl, lc, _ = out
     else:
         gl, lc = out
     return gl, lc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bb_mod", "ih_mod", "te_mod", "th_mod", "fu_mod",
+                     "en_type", "model_type", "fusion_type"))
+def _pair_scores(bb_mod, ih_mod, te_mod, th_mod, fu_mod,
+                 en_type, model_type, fusion_type,
+                 frozen_vars, ih_vars, te_params, th_params, fu_vars,
+                 img1, img2, cap1, cap2, x1, x2):
+    """One eval batch: encode both sides, fuse, cosine
+    (reference: utils/modules.py:104-151)."""
+    w1, s1 = _encode_text(en_type, te_mod, te_params, th_mod, th_params,
+                          cap1, x1)
+    w2, s2 = _encode_text(en_type, te_mod, te_params, th_mod, th_params,
+                          cap2, x2)
+    g1, l1 = _backbone_feats(model_type, bb_mod, frozen_vars, img1)
+    g2, l2 = _backbone_feats(model_type, bb_mod, frozen_vars, img2)
+    p1, q1 = ih_mod.apply(ih_vars, g1, l1, train=False)
+    p2, q2 = ih_mod.apply(ih_vars, g2, l2, train=False)
+
+    if fusion_type == "concat":
+        o1 = jnp.concatenate([p1, s1], axis=1)
+        o2 = jnp.concatenate([p2, s2], axis=1)
+    elif fusion_type == "linear":
+        o1 = fu_mod.apply(fu_vars, p1, s1)
+        o2 = fu_mod.apply(fu_vars, p2, s2)
+    elif fusion_type == "fcfm":
+        if en_type == "LSTM":
+            o1 = fu_mod.apply(fu_vars, q1, w1)
+            o2 = fu_mod.apply(fu_vars, q2, w2)
+        else:
+            o1 = fu_mod.apply(fu_vars, q1, w1, p1, s1, train=False)
+            o2 = fu_mod.apply(fu_vars, q2, w2, p2, s2, train=False)
+    else:
+        raise ValueError(fusion_type)
+    return cosine_pairs(o1, o2)
+
+
+@functools.partial(jax.jit, static_argnames=("bb_mod", "model_type"))
+def _raw_pair_scores(bb_mod, model_type, frozen_vars, img1, img2):
+    g1, _ = _backbone_feats(model_type, bb_mod, frozen_vars, img1)
+    g2, _ = _backbone_feats(model_type, bb_mod, frozen_vars, img2)
+    return cosine_pairs(g1, g2)
+
+
+def _score_loop(args, dl, fwd) -> Dict[str, list]:
+    preds, labels = [], []
+    xk = ("mask1", "mask2") if args.en_type == "BERT" else \
+         ("cap_len1", "cap_len2")
+    for batch in dl:
+        pred = fwd(batch["img1"], batch["img2"], batch["cap1"], batch["cap2"],
+                   batch[xk[0]], batch[xk[1]])
+        preds += np.asarray(pred).tolist()
+        labels += np.asarray(batch["pair_label"]).tolist()
+    return preds, labels
 
 
 def validate_concat(args, valid_dl, backbone, image_head_mod, ih_params,
@@ -59,30 +123,16 @@ def validate_concat(args, valid_dl, backbone, image_head_mod, ih_params,
                     text_head_mod, th_params) -> Dict[str, float]:
     """Stage-1 validation: concat(global_img_proj, sent) cosine verification
     (reference: src/train_encoders_bert.py:348-395)."""
+    ih_vars = {"params": ih_params, "batch_stats": ih_stats}
 
-    @jax.jit
     def fwd(img1, img2, cap1, cap2, x1, x2):
-        _, s1 = _encode_text(args, text_encoder_mod, te_params,
-                             text_head_mod, th_params, cap1, x1)
-        _, s2 = _encode_text(args, text_encoder_mod, te_params,
-                             text_head_mod, th_params, cap2, x2)
-        g1, l1 = _backbone_feats(args, backbone, backbone.variables, img1)
-        g2, l2 = _backbone_feats(args, backbone, backbone.variables, img2)
-        vars_ih = {"params": ih_params, "batch_stats": ih_stats}
-        p1, _ = image_head_mod.apply(vars_ih, g1, l1, train=False)
-        p2, _ = image_head_mod.apply(vars_ih, g2, l2, train=False)
-        o1 = jnp.concatenate([p1, s1], axis=1)
-        o2 = jnp.concatenate([p2, s2], axis=1)
-        return cosine_pairs(o1, o2)
+        return _pair_scores(
+            backbone.module, image_head_mod, text_encoder_mod,
+            text_head_mod, None, args.en_type, args.model_type, "concat",
+            backbone.variables, ih_vars, te_params, th_params, {},
+            img1, img2, cap1, cap2, x1, x2)
 
-    preds, labels = [], []
-    xk = ("mask1", "mask2") if args.en_type == "BERT" else \
-         ("cap_len1", "cap_len2")
-    for batch in valid_dl:
-        pred = fwd(batch["img1"], batch["img2"], batch["cap1"], batch["cap2"],
-                   batch[xk[0]], batch[xk[1]])
-        preds += np.asarray(pred).tolist()
-        labels += np.asarray(batch["pair_label"]).tolist()
+    preds, labels = _score_loop(args, valid_dl, fwd)
     return calculate_scores(preds, labels, args)
 
 
@@ -92,49 +142,20 @@ def run_test(args, test_dl, backbone, image_head, fusion_net,
 
     `image_head`, `fusion_net`, `text_encoder`, `text_head` are prepare.Bundle
     objects (fusion_net/text_head may be None for concat / LSTM)."""
-    ih_vars = image_head.variables
     te_params = text_encoder.variables["params"]
-    th_params = text_head.variables["params"] if text_head is not None else None
+    th_params = text_head.variables["params"] if text_head is not None else {}
     th_mod = text_head.module if text_head is not None else None
+    fu_mod = fusion_net.module if fusion_net is not None else None
+    fu_vars = fusion_net.variables if fusion_net is not None else {}
 
-    @jax.jit
     def fwd(img1, img2, cap1, cap2, x1, x2):
-        w1, s1 = _encode_text(args, text_encoder.module, te_params,
-                              th_mod, th_params, cap1, x1)
-        w2, s2 = _encode_text(args, text_encoder.module, te_params,
-                              th_mod, th_params, cap2, x2)
-        g1, l1 = _backbone_feats(args, backbone, backbone.variables, img1)
-        g2, l2 = _backbone_feats(args, backbone, backbone.variables, img2)
-        p1, q1 = image_head.module.apply(ih_vars, g1, l1, train=False)
-        p2, q2 = image_head.module.apply(ih_vars, g2, l2, train=False)
+        return _pair_scores(
+            backbone.module, image_head.module, text_encoder.module,
+            th_mod, fu_mod, args.en_type, args.model_type, args.fusion_type,
+            backbone.variables, image_head.variables, te_params, th_params,
+            fu_vars, img1, img2, cap1, cap2, x1, x2)
 
-        if args.fusion_type == "concat":
-            o1 = jnp.concatenate([p1, s1], axis=1)
-            o2 = jnp.concatenate([p2, s2], axis=1)
-        elif args.fusion_type == "linear":
-            o1 = fusion_net.module.apply(fusion_net.variables, p1, s1)
-            o2 = fusion_net.module.apply(fusion_net.variables, p2, s2)
-        elif args.fusion_type == "fcfm":
-            if args.en_type == "LSTM":
-                o1 = fusion_net.module.apply(fusion_net.variables, q1, w1)
-                o2 = fusion_net.module.apply(fusion_net.variables, q2, w2)
-            else:
-                o1 = fusion_net.module.apply(fusion_net.variables, q1, w1,
-                                             p1, s1, train=False)
-                o2 = fusion_net.module.apply(fusion_net.variables, q2, w2,
-                                             p2, s2, train=False)
-        else:
-            raise ValueError(args.fusion_type)
-        return cosine_pairs(o1, o2)
-
-    preds, labels = [], []
-    xk = ("mask1", "mask2") if args.en_type == "BERT" else \
-         ("cap_len1", "cap_len2")
-    for batch in test_dl:
-        pred = fwd(batch["img1"], batch["img2"], batch["cap1"], batch["cap2"],
-                   batch[xk[0]], batch[xk[1]])
-        preds += np.asarray(pred).tolist()
-        labels += np.asarray(batch["pair_label"]).tolist()
+    preds, labels = _score_loop(args, test_dl, fwd)
 
     if args.is_ident:
         calculate_identification_acc(preds, args)
@@ -155,7 +176,8 @@ def get_img_features_dict(args, backbone) -> Dict[str, np.ndarray]:
 
     @jax.jit
     def fwd(img):
-        g, _ = _backbone_feats(args, backbone, backbone.variables, img)
+        g, _ = _backbone_feats(args.model_type, backbone.module,
+                               backbone.variables, img)
         return g
 
     feats: Dict[str, np.ndarray] = {}
@@ -179,16 +201,11 @@ def get_img_features_dict(args, backbone) -> Dict[str, np.ndarray]:
 def org_face_test(args, test_dl, backbone) -> Dict[str, float]:
     """COTS baseline: cosine on raw backbone global features, no text
     (reference: src/org_face_test.py:17-58)."""
-
-    @jax.jit
-    def fwd(img1, img2):
-        g1, _ = _backbone_feats(args, backbone, backbone.variables, img1)
-        g2, _ = _backbone_feats(args, backbone, backbone.variables, img2)
-        return cosine_pairs(g1, g2)
-
     preds, labels = [], []
     for batch in test_dl:
-        pred = fwd(batch["img1"], batch["img2"])
+        pred = _raw_pair_scores(backbone.module, args.model_type,
+                                backbone.variables, batch["img1"],
+                                batch["img2"])
         preds += np.asarray(pred).tolist()
         labels += np.asarray(batch["pair_label"]).tolist()
     if args.is_ident:

@@ -126,12 +126,21 @@ def _stage2_group(name: str) -> str:
 
 
 def set_lr(opt_state, group: str, lr: float):
-    """Set one group's learning rate in a multi_transform state (host-side,
-    between epochs — mirrors the reference's scheduler.step())."""
-    inner = opt_state.inner_states[group].inner_state
-    if hasattr(inner, "hyperparams"):  # frozen groups have no LR
-        inner.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-    return opt_state
+    """Return a new multi_transform state with one group's learning rate set
+    (host-side, between epochs — mirrors the reference's scheduler.step()).
+
+    Purely functional: rebuilds the NamedTuple spine via _replace instead of
+    mutating optax internals in place (in-place dict mutation only works while
+    optax happens to share the dict object across states)."""
+    wrap = opt_state.inner_states[group]
+    inner = wrap.inner_state
+    if not hasattr(inner, "hyperparams"):  # frozen groups have no LR
+        return opt_state
+    hp = dict(inner.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    new_states = dict(opt_state.inner_states)
+    new_states[group] = wrap._replace(inner_state=inner._replace(hyperparams=hp))
+    return opt_state._replace(inner_states=new_states)
 
 
 def get_lr(opt_state, group: str) -> float:

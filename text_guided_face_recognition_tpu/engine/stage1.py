@@ -127,8 +127,10 @@ class Stage1Trainer:
     # ------------------------------------------------------------- helpers --
 
     def _apply_lrs(self):
+        opt = self.state.opt_state
         for group, lr in self.lr.items():
-            optim.set_lr(self.state.opt_state, group, lr)
+            opt = optim.set_lr(opt, group, lr)
+        self.state = self.state.replace(opt_state=opt)
 
     def _text_forward(self, params, batch, rng):
         if self.is_bert:

@@ -88,8 +88,10 @@ class FusionTrainer:
         self._dropout_key = jax.random.PRNGKey(args.manual_seed + 2)
 
     def _apply_lrs(self):
+        opt = self.state.opt_state
         for group, lr in self.lr.items():
-            optim.set_lr(self.state.opt_state, group, lr)
+            opt = optim.set_lr(opt, group, lr)
+        self.state = self.state.replace(opt_state=opt)
 
     def _build_train_step(self):
         loss_fn = self.build_loss_fn()

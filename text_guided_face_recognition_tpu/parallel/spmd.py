@@ -95,12 +95,9 @@ def make_shardmap_fusion_step(trainer, mesh: Mesh, axis: str = "data"):
     grad is the mean over its local rows; the equal-shard mean of means is the
     full-batch mean), pmean of BN stats."""
     args = trainer.args
-    # trainer's own loss_fn, rebuilt per shard via the private builder
-    loss_fn = trainer._loss_fn if hasattr(trainer, "_loss_fn") else None
-    if loss_fn is None:
-        # FusionTrainer keeps loss_fn inside _build_train_step; expose via
-        # a fresh build (identical closure)
-        loss_fn = trainer.build_loss_fn()
+    # FusionTrainer keeps loss_fn inside _build_train_step; rebuild the
+    # identical closure for the per-shard step
+    loss_fn = trainer.build_loss_fn()
 
     def per_shard(state: TrainState, batch, frozen_vars, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
