@@ -179,18 +179,24 @@ def convert_magface(sd: Dict[str, np.ndarray], layers=(2, 2, 2, 2)
     return convert_iresnet(stripped, layers)
 
 
-def convert_bert_encoder(sd: Dict[str, np.ndarray], num_layers: int = 12
-                         ) -> Dict[str, Any]:
+def convert_bert_encoder(sd: Dict[str, np.ndarray],
+                         num_layers: int | None = None) -> Dict[str, Any]:
     """HF torch BertModel state_dict -> our TransformerEncoder('postln')
-    param tree (models/text_bert.py)."""
+    param tree (models/text_bert.py). num_layers inferred from the keys
+    when not given."""
     sd = {re.sub(r"^bert\.", "", k): v for k, v in sd.items()}
+    if num_layers is None:
+        num_layers = max(int(m.group(1)) for k in sd
+                         if (m := re.match(r"encoder\.layer\.(\d+)\.", k))) + 1
     p: Dict[str, Any] = {
         "tok_emb": {"embedding": sd["embeddings.word_embeddings.weight"]},
         "pos_emb": {"embedding": sd["embeddings.position_embeddings.weight"]},
-        "type_emb": {"embedding": sd["embeddings.token_type_embeddings.weight"]},
         "emb_ln": {"scale": sd["embeddings.LayerNorm.weight"],
                    "bias": sd["embeddings.LayerNorm.bias"]},
     }
+    if "embeddings.token_type_embeddings.weight" in sd:  # absent in BLIP
+        p["type_emb"] = {
+            "embedding": sd["embeddings.token_type_embeddings.weight"]}
     for i in range(num_layers):
         t = f"encoder.layer.{i}"
         p[f"layer_{i}"] = {
@@ -322,15 +328,126 @@ def convert_wordlevel_cfa(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     }}
 
 
+def convert_clip_text_encoder(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """HF torch CLIPTextModel / GroupViTTextModel state_dict -> our
+    TransformerEncoder('preln', causal, final_ln) param tree. Key layout:
+    text_model.embeddings.{token,position}_embedding, encoder.layers.N.
+    {self_attn.{q,k,v,out}_proj, layer_norm1, layer_norm2, mlp.fc{1,2}},
+    final_layer_norm."""
+    sd = {re.sub(r"^text_model\.", "", k): v for k, v in sd.items()}
+    num_layers = max(int(m.group(1)) for k in sd
+                     if (m := re.match(r"encoder\.layers\.(\d+)\.", k))) + 1
+    p: Dict[str, Any] = {
+        "tok_emb": {"embedding": sd["embeddings.token_embedding.weight"]},
+        "pos_emb": {"embedding": sd["embeddings.position_embedding.weight"]},
+        "final_ln": _ln(sd, "final_layer_norm"),
+    }
+    for i in range(num_layers):
+        t = f"encoder.layers.{i}"
+        p[f"layer_{i}"] = {
+            "attn": {
+                "query": _dense(sd, f"{t}.self_attn.q_proj"),
+                "key": _dense(sd, f"{t}.self_attn.k_proj"),
+                "value": _dense(sd, f"{t}.self_attn.v_proj"),
+                "out": _dense(sd, f"{t}.self_attn.out_proj"),
+            },
+            "attn_ln": _ln(sd, f"{t}.layer_norm1"),
+            "ffn_ln": _ln(sd, f"{t}.layer_norm2"),
+            "ffn_in": _dense(sd, f"{t}.mlp.fc1"),
+            "ffn_out": _dense(sd, f"{t}.mlp.fc2"),
+        }
+    return {"params": p}
+
+
+def convert_flava_text_encoder(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """HF torch FlavaTextModel state_dict -> our TransformerEncoder('preln',
+    emb_ln, final_ln) tree. FLAVA text = BERT embeddings over ViT pre-LN
+    blocks (encoder.layer.N.{attention.attention.{query,key,value},
+    attention.output.dense, layernorm_before, layernorm_after,
+    intermediate.dense, output.dense}) + trailing `layernorm`."""
+    num_layers = max(int(m.group(1)) for k in sd
+                     if (m := re.match(r"encoder\.layer\.(\d+)\.", k))) + 1
+    p: Dict[str, Any] = {
+        "tok_emb": {"embedding": sd["embeddings.word_embeddings.weight"]},
+        "pos_emb": {"embedding": sd["embeddings.position_embeddings.weight"]},
+        "type_emb": {"embedding":
+                     sd["embeddings.token_type_embeddings.weight"]},
+        "emb_ln": _ln(sd, "embeddings.LayerNorm"),
+        "final_ln": _ln(sd, "layernorm"),
+    }
+    for i in range(num_layers):
+        t = f"encoder.layer.{i}"
+        p[f"layer_{i}"] = {
+            "attn": {
+                "query": _dense(sd, f"{t}.attention.attention.query"),
+                "key": _dense(sd, f"{t}.attention.attention.key"),
+                "value": _dense(sd, f"{t}.attention.attention.value"),
+                "out": _dense(sd, f"{t}.attention.output.dense"),
+            },
+            "attn_ln": _ln(sd, f"{t}.layernorm_before"),
+            "ffn_ln": _ln(sd, f"{t}.layernorm_after"),
+            "ffn_in": _dense(sd, f"{t}.intermediate.dense"),
+            "ffn_out": _dense(sd, f"{t}.output.dense"),
+        }
+    return {"params": p}
+
+
+def convert_hf_text_model(sd: Dict[str, np.ndarray],
+                          bert_type: str) -> Dict[str, Any]:
+    """Raw HF torch text-model state_dict -> our TransformerEncoder tree,
+    dispatched per reference bert_type (models/models.py:123-140)."""
+    if bert_type in ("bert", "align", "blip"):
+        return convert_bert_encoder(sd)
+    if bert_type == "falva":
+        return convert_flava_text_encoder(sd)
+    if bert_type in ("clip", "groupvit"):
+        return convert_clip_text_encoder(sd)
+    raise ValueError(f"unknown bert_type {bert_type!r}")
+
+
 def convert_text_encoder_bundle(sd: Dict[str, np.ndarray],
                                 bert_type: str = "bert") -> Dict[str, Any]:
     """reference TextEncoder state_dict (models/models.py:144-151 wraps the HF
     model under 'model.') -> our TextEncoder tree ({'params': {'model': ...}})."""
     sd = _strip_module(sd)
     sd = {re.sub(r"^model\.", "", k): v for k, v in sd.items()}
-    if bert_type in ("bert", "align", "blip", "falva"):
-        inner = convert_bert_encoder(sd)["params"]
-    else:
-        raise NotImplementedError(
-            f"no converter yet for bert_type={bert_type!r}")
-    return {"params": {"model": inner}}
+    return {"params": {"model": convert_hf_text_model(sd, bert_type)["params"]}}
+
+
+def convert_rnn_encoder(sd: Dict[str, np.ndarray],
+                        en_type: str = "LSTM") -> Dict[str, Any]:
+    """reference RNNEncoder state_dict (models/models.py:236-324: Embedding
+    'encoder' + 1-layer bidirectional nn.LSTM/GRU 'rnn') -> our RNNEncoder
+    tree (flax OptimizedLSTMCell / GRUCell per direction).
+
+    torch chunks gates along dim 0 — LSTM [i,f,g,o], GRU [r,z,n]. Flax puts
+    the bias on the hidden-side dense for LSTM (so b = b_ih + b_hh) and on
+    the input-side dense for GRU r/z (b = b_ih + b_hh); the GRU n-gate keeps
+    both biases separate (torch computes tanh(W_in x + b_in + r*(W_hn h +
+    b_hn)), exactly flax's in/hn split)."""
+    sd = _strip_module(sd)
+    p: Dict[str, Any] = {"encoder": {"embedding": sd["encoder.weight"]}}
+    lstm = en_type.upper() == "LSTM"
+    gates = ("i", "f", "g", "o") if lstm else ("r", "z", "n")
+    for suffix, ours in (("", "fwd"), ("_reverse", "bwd")):
+        if f"rnn.weight_ih_l0{suffix}" not in sd:
+            continue  # unidirectional
+        wi = sd[f"rnn.weight_ih_l0{suffix}"]
+        wh = sd[f"rnn.weight_hh_l0{suffix}"]
+        bi = sd[f"rnn.bias_ih_l0{suffix}"]
+        bh = sd[f"rnn.bias_hh_l0{suffix}"]
+        h = wh.shape[1]
+        cell: Dict[str, Any] = {}
+        for gi, g in enumerate(gates):
+            sl = slice(gi * h, (gi + 1) * h)
+            if lstm:
+                cell[f"i{g}"] = {"kernel": wi[sl].T}
+                cell[f"h{g}"] = {"kernel": wh[sl].T, "bias": bi[sl] + bh[sl]}
+            elif g == "n":
+                cell["in"] = {"kernel": wi[sl].T, "bias": bi[sl]}
+                cell["hn"] = {"kernel": wh[sl].T, "bias": bh[sl]}
+            else:
+                cell[f"i{g}"] = {"kernel": wi[sl].T, "bias": bi[sl] + bh[sl]}
+                cell[f"h{g}"] = {"kernel": wh[sl].T}
+        p[ours] = cell
+    return {"params": p}

@@ -76,6 +76,23 @@ def _maybe_convert(path: str, converter, like: Dict[str, Any],
     return None
 
 
+def _load_torch_obj(path: str):
+    """torch.load + an npify helper for the reference's dict-of-state-dict
+    checkpoint bundles (src/train_encoders_bert.py:59-80, src/fusion_bert.py:
+    166-191)."""
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+
+    def npify(d):
+        if hasattr(d, "state_dict"):
+            d = d.state_dict()
+        return {k: np.asarray(v.detach().cpu().numpy())
+                if hasattr(v, "detach") else np.asarray(v)
+                for k, v in d.items()}
+
+    return obj, npify
+
+
 def _merge(variables: Dict[str, Any], loaded: Optional[Dict[str, Any]]
            ) -> Dict[str, Any]:
     if loaded is None:
@@ -160,11 +177,21 @@ def prepare_text_encoder(args, load: bool = True
         head_vars = head.init(_rng(), words)
         path = args.text_encoder_path
         if load and path:
-            if os.path.isfile(path):  # torch HF BERT weights
-                sd = C.load_torch_state_dict(path)
-                enc_vars = _merge(enc_vars, {"params": {
-                    "model": C.convert_bert_encoder(sd)["params"]}})
-                print("converted HF torch text encoder:", path)
+            if os.path.isfile(path):  # torch weights
+                obj, npify = _load_torch_obj(path)
+                if isinstance(obj, dict) and "model" in obj and "head" in obj:
+                    # reference text bundle {'model','head'}
+                    # (src/train_encoders_bert.py:74-79)
+                    enc_vars = _merge(enc_vars, C.convert_text_encoder_bundle(
+                        npify(obj["model"]), args.bert_type))
+                    head_vars = _merge(head_vars, C.convert_text_heading(
+                        npify(obj["head"])))
+                    print("converted reference text encoder+head:", path)
+                else:  # raw HF torch text model
+                    enc_vars = _merge(enc_vars, {"params": {
+                        "model": C.convert_hf_text_model(
+                            npify(obj), args.bert_type)["params"]}})
+                    print("converted HF torch text encoder:", path)
             elif ckpt.checkpoint_exists(path):
                 tree = ckpt.load_checkpoint(
                     path, like={"model": enc_vars, "head": head_vars},
@@ -183,8 +210,16 @@ def prepare_text_encoder(args, load: bool = True
     caps = jnp.zeros((1, args.lstm_words_num), jnp.int32)
     lens = jnp.ones((1,), jnp.int32)
     enc_vars = enc.init(_rng(), caps, lens)
-    if load and args.text_encoder_path and \
-            ckpt.checkpoint_exists(args.text_encoder_path):
+    path = args.text_encoder_path
+    if load and path and os.path.isfile(path):
+        # reference LSTM text ckpt {'model': RNNEncoder sd}
+        # (utils/prepare.py:27-33)
+        obj, npify = _load_torch_obj(path)
+        sd = npify(obj["model"]) if isinstance(obj, dict) and "model" in obj \
+            else npify(obj)
+        enc_vars = _merge(enc_vars, C.convert_rnn_encoder(sd, args.en_type))
+        print("converted reference RNN text encoder:", path)
+    elif load and path and ckpt.checkpoint_exists(path):
         tree = ckpt.load_checkpoint(args.text_encoder_path,
                                     like={"model": enc_vars}, partial=True)
         enc_vars = tree["model"]
@@ -200,6 +235,14 @@ def prepare_image_head(args, load: bool = True) -> Bundle:
     l = jnp.zeros((1, 14, 14, 256), jnp.float32)
     variables = head.init(_rng(), g, l)
     if load and args.image_encoder_path and \
+            os.path.isfile(args.image_encoder_path):
+        # reference image ckpt {'image_head': sd}
+        # (src/train_encoders_bert.py:59-72)
+        sd = C.load_torch_state_dict(args.image_encoder_path,
+                                     key="image_head")
+        variables = _merge(variables, C.convert_image_heading(sd))
+        print("converted reference image head:", args.image_encoder_path)
+    elif load and args.image_encoder_path and \
             ckpt.checkpoint_exists(args.image_encoder_path):
         tree = ckpt.load_checkpoint(args.image_encoder_path,
                                     like={"image_head": variables},
@@ -236,6 +279,18 @@ def prepare_fusion_net(args, load: bool = True) -> Optional[Bundle]:
     else:
         raise ValueError(f"unknown fusion_type {args.fusion_type!r}")
     if load and args.fusion_net_path and \
+            os.path.isfile(args.fusion_net_path):
+        # reference fusion ckpt {'net': sd} (utils/utils.py:84-88)
+        sd = C.load_torch_state_dict(args.fusion_net_path, key="net")
+        if args.fusion_type == "linear":
+            conv = C.convert_linear_fusion(sd)
+        elif args.en_type == "LSTM":
+            conv = C.convert_wordlevel_cfa(sd)
+        else:
+            conv = C.convert_fcfm(sd)
+        variables = _merge(variables, conv)
+        print("converted reference fusion net:", args.fusion_net_path)
+    elif load and args.fusion_net_path and \
             ckpt.checkpoint_exists(args.fusion_net_path):
         tree = ckpt.load_checkpoint(args.fusion_net_path,
                                     like={"net": variables}, partial=True)

@@ -45,23 +45,40 @@ class TextArch:
     heads: int
     intermediate: int
     max_positions: int
-    style: str = "postln"      # "postln" (BERT) | "preln" (CLIP)
+    style: str = "postln"      # block layout: "postln" (BERT) | "preln" (CLIP/ViT)
     causal: bool = False
-    act: str = "gelu"          # "gelu" | "quick_gelu"
+    act: str = "gelu"          # "gelu" (erf) | "quick_gelu"
     type_vocab: int = 2        # 0 disables token-type embeddings
     dropout: float = 0.1       # hidden/attention dropout (train mode only)
+    emb_ln: bool = True        # LayerNorm over the summed embeddings
+    final_ln: bool = False     # trailing LayerNorm after the last block
+    ln_eps: float = 1e-12
 
 
-# Architecture table mirroring the HF checkpoints named in cfg/train_bert.yml:60-67.
+# Architecture table for the HF checkpoints named in cfg/train_bert.yml:60-67.
+# Every entry is VERIFIED against the real HF module structure constructed
+# offline from its default config (== the named checkpoint's config) by
+# tests/test_text_encoders.py:
+#   * align text tower = exact BERT-base
+#   * blip text = BERT layout, 8 heads, vocab 30524, no token-type embeddings
+#     (its per-layer cross-attention weights are dead without vision input and
+#     are skipped by the converter)
+#   * flava text = BERT embeddings (incl. token types + emb LN) over ViT-style
+#     PRE-LN blocks (layernorm_before/after) with a trailing LayerNorm
+#   * clip / groupvit = CLIP pre-LN, causal, quick-gelu, no emb LN, final LN
 TEXT_ARCHS = {
     "bert": TextArch(30522, 768, 12, 12, 3072, 512),
-    "align": TextArch(30522, 768, 12, 12, 3072, 512),      # align-base text = BERT-base
-    "blip": TextArch(30524, 768, 12, 12, 3072, 512),
-    "falva": TextArch(30522, 768, 12, 12, 3072, 512),      # (sic) reference key
+    "align": TextArch(30522, 768, 12, 12, 3072, 512),
+    "blip": TextArch(30524, 768, 12, 8, 3072, 512, type_vocab=0, dropout=0.0),
+    "falva": TextArch(30522, 768, 12, 12, 3072, 512, style="preln",  # (sic) reference key
+                      dropout=0.0, final_ln=True),
     "clip": TextArch(49408, 512, 12, 8, 2048, 77, style="preln", causal=True,
-                     act="quick_gelu", type_vocab=0),
-    "groupvit": TextArch(49408, 256, 12, 4, 1024, 77, style="preln", causal=True,
-                         act="quick_gelu", type_vocab=0),
+                     act="quick_gelu", type_vocab=0, dropout=0.0,
+                     emb_ln=False, final_ln=True, ln_eps=1e-5),
+    "groupvit": TextArch(49408, 256, 12, 4, 1024, 77, style="preln",
+                         causal=True, act="quick_gelu", type_vocab=0,
+                         dropout=0.0, emb_ln=False, final_ln=True,
+                         ln_eps=1e-5),
 }
 
 
@@ -125,21 +142,25 @@ class _Block(nn.Module):
         if a.style == "postln":
             h = _SelfAttention(a, self.dtype, name="attn")(x, mask,
                                                            deterministic)
-            x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
+            x = nn.LayerNorm(epsilon=a.ln_eps, dtype=self.dtype,
                              name="attn_ln")(x + drop(h, "attn_out_drop"))
             h = nn.Dense(a.intermediate, dtype=self.dtype, name="ffn_in")(x)
             h = act(h)
             h = nn.Dense(a.hidden, dtype=self.dtype, name="ffn_out")(h)
-            x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
+            x = nn.LayerNorm(epsilon=a.ln_eps, dtype=self.dtype,
                              name="ffn_ln")(x + drop(h, "ffn_drop"))
-        else:  # preln (CLIP-style)
-            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="attn_ln")(x)
-            x = x + _SelfAttention(a, self.dtype, name="attn")(h, mask,
-                                                               deterministic)
-            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ffn_ln")(x)
+        else:  # preln (CLIP/ViT-style)
+            h = nn.LayerNorm(epsilon=a.ln_eps, dtype=self.dtype,
+                             name="attn_ln")(x)
+            h = _SelfAttention(a, self.dtype, name="attn")(h, mask,
+                                                           deterministic)
+            x = x + drop(h, "attn_out_drop")
+            h = nn.LayerNorm(epsilon=a.ln_eps, dtype=self.dtype,
+                             name="ffn_ln")(x)
             h = nn.Dense(a.intermediate, dtype=self.dtype, name="ffn_in")(h)
             h = act(h)
-            x = x + nn.Dense(a.hidden, dtype=self.dtype, name="ffn_out")(h)
+            h = nn.Dense(a.hidden, dtype=self.dtype, name="ffn_out")(h)
+            x = x + drop(h, "ffn_drop")
         return x
 
 
@@ -163,8 +184,9 @@ class TransformerEncoder(nn.Module):
         if a.type_vocab:
             x = x + nn.Embed(a.type_vocab, a.hidden, dtype=self.dtype,
                              name="type_emb")(jnp.zeros_like(input_ids))
-        if a.style == "postln":
-            x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="emb_ln")(x)
+        if a.emb_ln:
+            x = nn.LayerNorm(epsilon=a.ln_eps, dtype=self.dtype,
+                             name="emb_ln")(x)
         if a.dropout:
             x = nn.Dropout(a.dropout, deterministic=deterministic,
                            name="emb_drop")(x)
@@ -172,8 +194,9 @@ class TransformerEncoder(nn.Module):
         for i in range(a.layers):
             x = _Block(a, self.dtype, name=f"layer_{i}")(x, mask,
                                                          deterministic)
-        if a.style == "preln":
-            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_ln")(x)
+        if a.final_ln:
+            x = nn.LayerNorm(epsilon=a.ln_eps, dtype=self.dtype,
+                             name="final_ln")(x)
         return x
 
 

@@ -1,0 +1,603 @@
+#!/usr/bin/env python
+"""A/B parity harness against the ACTUAL reference implementation on disk.
+
+Imports and *executes* the reference's own torch modules from /root/reference
+(models/iresnet.py, models/net.py, models/network.py, models/models.py,
+models/fusion_nets.py, utils/modules.py `test`) and runs them end-to-end
+against this framework's evaluate.run_test / org_face_test on identical
+inputs with shared random weights (torch init -> state_dict ->
+engine/convert.py), then diffs per-pair cosine scores and AUC/EER.
+
+This is the measurement VERDICT r01 asked for: score parity vs the real
+reference code, not a re-implemented oracle. The reference code is run
+in-place, never copied.
+
+Environment shims (import-time only, the modeled math is untouched):
+  * torchvision / torchsummary are not installed -> stub modules
+  * the reference hard-codes .cuda() / torch.cuda.FloatTensor
+    (utils/dataset_utils.py:37-40, models/models.py:207) -> no-op'd on this
+    CUDA-less host
+  * HF from_pretrained has no network -> get_encoder patched to construct
+    BertModel(BertConfig()) with random weights (same arch, shared via
+    state_dict conversion)
+
+Usage:
+  python tools/ab_reference.py [--pairs 64] [--batch 16] [--bert-layers 12]
+                               [--report docs/PARITY_REPORT.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import types
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_ROOT = os.environ.get("TGFR_REF_ROOT", "/root/reference")
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+
+T_BERT = 24          # bert_words_num (cfg/train_bert.yml:60)
+FEAT = 256           # aux_feat_dim_per_granularity
+IMG = 112
+
+
+# ------------------------------------------------------------------- shims --
+
+def _stub(name: str, **attrs):
+    if name in sys.modules:
+        return sys.modules[name]
+    import importlib.machinery
+    m = types.ModuleType(name)
+    # transformers probes importlib.util.find_spec("torchvision") — a stub
+    # with __spec__=None makes that raise, so give it a real ModuleSpec
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+def import_reference(bert_layers: int):
+    import torch
+
+    class _NoopTransform:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, x):
+            return x
+
+    _stub("torchsummary", summary=lambda *a, **k: None)
+    tv = _stub("torchvision")
+    tr = _stub("torchvision.transforms")
+    for n in ("Compose", "RandomCrop", "ToTensor", "Normalize", "Resize",
+              "RandomGrayscale", "RandomHorizontalFlip"):
+        setattr(tr, n, _NoopTransform)
+    tv.transforms = tr
+    tv.models = _stub("torchvision.models")
+    _stub("easydict", EasyDict=lambda *a, **k: types.SimpleNamespace(
+        **(a[0] if a else k)))
+
+    # CUDA-less host: make the reference's hard-coded device pins no-ops
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    if not torch.cuda.is_available():
+        torch.cuda.FloatTensor = torch.FloatTensor
+
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    import models.models as ref_models
+    import models.fusion_nets as ref_fusion
+    import models.iresnet as ref_iresnet
+    import models.net as ref_net
+    import models.network as ref_network
+    import utils.modules as ref_modules
+
+    # offline HF: same arch as bert-base-uncased, random weights
+    from transformers import BertConfig, BertModel
+
+    def _get_encoder(args):
+        cfg = BertConfig(num_hidden_layers=bert_layers)
+        return BertModel(cfg)
+
+    ref_models.get_encoder = _get_encoder
+    # reference net.py:53 Flatten uses .view, which fails on CPU-contiguity
+    # (fine on its GPU layouts); .reshape is the identical math
+    ref_net.Flatten.forward = lambda self, x: x.reshape(x.size(0), -1)
+    return types.SimpleNamespace(
+        models=ref_models, fusion=ref_fusion, iresnet=ref_iresnet,
+        net=ref_net, network=ref_network, modules=ref_modules)
+
+
+def _randomize_buffers(module, rng):
+    """Give BN running stats non-trivial values so stat conversion is
+    actually exercised (fresh modules initialize mean=0/var=1)."""
+    import torch
+    for name, buf in module.named_buffers():
+        if name.endswith("running_mean"):
+            buf.data = torch.tensor(
+                rng.normal(0.0, 0.2, buf.shape).astype(np.float32))
+        elif name.endswith("running_var"):
+            buf.data = torch.tensor(
+                rng.uniform(0.5, 1.5, buf.shape).astype(np.float32))
+
+
+# -------------------------------------------------------------------- data --
+
+def make_pairs(rng, n_pairs: int, batch: int, vocab: int = 30522):
+    """Synthetic verification pairs: genuine pairs share a base image/caption
+    with small perturbations, imposters are independent. Returns parallel
+    torch-format and ours-format batch lists."""
+    import torch
+
+    def rand_img():
+        return rng.normal(0.0, 0.5, (IMG, IMG, 3)).astype(np.float32)
+
+    def rand_cap():
+        ids = np.zeros(T_BERT, np.int64)
+        n = int(rng.integers(8, T_BERT))
+        ids[0] = 101                               # [CLS]
+        ids[1:n - 1] = rng.integers(1000, vocab - 1000, n - 2)
+        ids[n - 1] = 102                           # [SEP]
+        mask = (ids != 0).astype(np.int64)
+        return ids, mask
+
+    rows = []
+    for i in range(n_pairs):
+        genuine = i % 2 == 0
+        i1 = rand_img()
+        c1, m1 = rand_cap()
+        if genuine:
+            i2 = i1 + rng.normal(0.0, 0.05, i1.shape).astype(np.float32)
+            c2, m2 = c1.copy(), m1.copy()
+        else:
+            i2 = rand_img()
+            c2, m2 = rand_cap()
+        rows.append((i1, i2, c1, c2, m1, m2, int(genuine)))
+
+    ref_batches, our_batches = [], []
+    for s in range(0, n_pairs, batch):
+        chunk = rows[s:s + batch]
+        img1 = np.stack([r[0] for r in chunk])
+        img2 = np.stack([r[1] for r in chunk])
+        cap1 = np.stack([r[2] for r in chunk])
+        cap2 = np.stack([r[3] for r in chunk])
+        msk1 = np.stack([r[4] for r in chunk])
+        msk2 = np.stack([r[5] for r in chunk])
+        lab = np.asarray([r[6] for r in chunk], np.int64)
+        ref_batches.append((
+            torch.tensor(img1.transpose(0, 3, 1, 2)),
+            torch.tensor(img2.transpose(0, 3, 1, 2)),
+            torch.tensor(cap1), torch.tensor(cap2),
+            torch.tensor(msk1), torch.tensor(msk2), torch.tensor(lab)))
+        our_batches.append(dict(
+            img1=img1, img2=img2,
+            cap1=cap1.astype(np.int32), cap2=cap2.astype(np.int32),
+            mask1=msk1.astype(np.int32), mask2=msk2.astype(np.int32),
+            pair_label=lab.astype(np.int32)))
+    return ref_batches, our_batches
+
+
+# ------------------------------------------------------------------- sides --
+
+def _args_ref(fusion_type: str, roc_file: str):
+    import torch
+    return types.SimpleNamespace(
+        device=torch.device("cpu"), en_type="BERT", bert_type="bert",
+        model_type="arcface",
+        fusion_type=fusion_type, is_roc=True, is_ident=False,
+        roc_file=roc_file, bert_words_num=T_BERT,
+        aux_feat_dim_per_granularity=FEAT, fusion_final_dim=640)
+
+
+def _load_roc(path: str):
+    with open(path, "rb") as f:
+        y_true = np.load(f)
+        y_score = np.load(f)
+    return np.asarray(y_true, np.float64), np.asarray(y_score, np.float64)
+
+
+def _cast_like(init_vars, converted):
+    """Structure-validating cast: tree_map throws if the converted tree does
+    not exactly match the module's variable tree."""
+    import jax
+    import jax.numpy as jnp
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.asarray(np.asarray(b), a.dtype), init_vars,
+        converted)
+
+
+def run_full_ab(ref, fusion_type: str, bert_layers: int, ref_batches,
+                our_batches, tmpdir: str, seed: int = 7):
+    """Full eval-path A/B (reference utils/modules.py:92-168 vs
+    evaluate.run_test) for one fusion_type. Returns the comparison dict."""
+    import torch
+
+    torch.manual_seed(seed)
+    rng = np.random.default_rng(seed)
+
+    args_r = _args_ref(fusion_type, os.path.join(tmpdir, f"ref_{fusion_type}"))
+    enc_t = ref.models.TextEncoder(args_r)
+    head_t = ref.models.TextHeading(args_r)
+    bb_t = ref.iresnet.iresnet18()
+    ih_t = ref.models.ImageHeading(args_r)
+    net_t = None
+    if fusion_type == "linear":
+        net_t = ref.fusion.LinearFusion(args_r)
+    elif fusion_type == "fcfm":
+        net_t = ref.fusion.Working(FEAT)
+    for m in (enc_t, head_t, bb_t, ih_t, net_t):
+        if m is not None:
+            _randomize_buffers(m, rng)
+            m.eval()
+
+    # ---- reference side: its own shared test loop
+    ref.modules.test(ref_batches, bb_t, ih_t, net_t, enc_t, head_t, args_r)
+    yt_ref, ys_ref = _load_roc(args_r.roc_file + ".npy")
+
+    # ---- our side: convert the SAME weights and run evaluate.run_test
+    import jax.numpy as jnp
+
+    from text_guided_face_recognition_tpu import models as M
+    from text_guided_face_recognition_tpu.config import TGFRConfig
+    from text_guided_face_recognition_tpu.engine import convert as C
+    from text_guided_face_recognition_tpu.engine import evaluate
+    from text_guided_face_recognition_tpu.engine.prepare import Bundle
+    from text_guided_face_recognition_tpu.models import text_bert
+
+    def sd(m):
+        return {k: np.asarray(v.detach().numpy())
+                for k, v in m.state_dict().items()}
+
+    if bert_layers != text_bert.TEXT_ARCHS["bert"].layers:
+        import dataclasses as dc
+        text_bert.TEXT_ARCHS["bert"] = dc.replace(
+            text_bert.TEXT_ARCHS["bert"], layers=bert_layers)
+
+    key = __import__("jax").random.PRNGKey(0)
+    bb = M.iresnet18(dtype=jnp.float32)
+    bb_vars = _cast_like(bb.init(key, jnp.zeros((1, IMG, IMG, 3))),
+                         C.convert_iresnet(sd(bb_t)))
+    ih = M.ImageHeading(feat_dim=FEAT)
+    ih_vars = _cast_like(
+        ih.init(key, jnp.zeros((1, 512)), jnp.zeros((1, 14, 14, 256))),
+        C.convert_image_heading(sd(ih_t)))
+    te = M.TextEncoder(bert_type="bert")
+    ids0 = jnp.zeros((1, T_BERT), jnp.int32)
+    te_vars = _cast_like(
+        te.init(key, ids0, jnp.ones((1, T_BERT), jnp.int32)),
+        C.convert_text_encoder_bundle(
+            sd(enc_t), bert_type="bert"))
+    th = M.TextHeading(feat_dim=FEAT)
+    th_vars = _cast_like(
+        th.init(key, jnp.zeros((1, T_BERT - 1, 768))),
+        C.convert_text_heading(sd(head_t)))
+    fu_bundle = None
+    if fusion_type == "linear":
+        fu = M.LinearFusion(fusion_final_dim=640)
+        fu_vars = _cast_like(
+            fu.init(key, jnp.zeros((1, 256)), jnp.zeros((1, FEAT))),
+            C.convert_linear_fusion(sd(net_t)))
+        fu_bundle = Bundle(fu, fu_vars)
+    elif fusion_type == "fcfm":
+        fu = M.FCFM(channel_dim=36)
+        fu_vars = _cast_like(
+            fu.init(key, jnp.zeros((1, 14, 14, 256)),
+                    jnp.zeros((1, FEAT, T_BERT - 2)), jnp.zeros((1, FEAT)),
+                    jnp.zeros((1, FEAT))),
+            C.convert_fcfm(sd(net_t)))
+        fu_bundle = Bundle(fu, fu_vars)
+
+    args_o = TGFRConfig().replace(
+        en_type="BERT", model_type="arcface", fusion_type=fusion_type,
+        is_roc=True, is_ident=False,
+        roc_file=os.path.join(tmpdir, f"ours_{fusion_type}"))
+    evaluate.run_test(args_o, our_batches, Bundle(bb, bb_vars),
+                      Bundle(ih, ih_vars), fu_bundle, Bundle(te, te_vars),
+                      Bundle(th, th_vars))
+    yt_our, ys_our = _load_roc(args_o.roc_file + ".npy")
+
+    assert np.array_equal(yt_ref, yt_our), "pair labels diverged"
+    return _compare(f"run_test/{fusion_type}", yt_ref, ys_ref, ys_our)
+
+
+def make_pairs_lstm(rng, n_pairs: int, batch: int, vocab: int = 1500,
+                    t_words: int = 18):
+    """LSTM-path pairs: variable-length token ids + cap_lens."""
+    import torch
+
+    def rand_img():
+        return rng.normal(0.0, 0.5, (IMG, IMG, 3)).astype(np.float32)
+
+    def rand_cap():
+        n = int(rng.integers(4, t_words + 1))
+        ids = np.zeros(t_words, np.int64)
+        ids[:n] = rng.integers(1, vocab, n)
+        return ids, n
+
+    rows = []
+    for i in range(n_pairs):
+        genuine = i % 2 == 0
+        i1, (c1, l1) = rand_img(), rand_cap()
+        if genuine:
+            i2 = i1 + rng.normal(0.0, 0.05, i1.shape).astype(np.float32)
+            c2, l2 = c1.copy(), l1
+        else:
+            i2, (c2, l2) = rand_img(), rand_cap()
+        rows.append((i1, i2, c1, c2, l1, l2, int(genuine)))
+
+    ref_batches, our_batches = [], []
+    for s in range(0, n_pairs, batch):
+        chunk = rows[s:s + batch]
+        img1 = np.stack([r[0] for r in chunk])
+        img2 = np.stack([r[1] for r in chunk])
+        cap1 = np.stack([r[2] for r in chunk])
+        cap2 = np.stack([r[3] for r in chunk])
+        len1 = np.asarray([r[4] for r in chunk], np.int64)
+        len2 = np.asarray([r[5] for r in chunk], np.int64)
+        lab = np.asarray([r[6] for r in chunk], np.int64)
+        ref_batches.append((
+            torch.tensor(img1.transpose(0, 3, 1, 2)),
+            torch.tensor(img2.transpose(0, 3, 1, 2)),
+            torch.tensor(cap1), torch.tensor(cap2),
+            torch.tensor(len1), torch.tensor(len2), torch.tensor(lab)))
+        our_batches.append(dict(
+            img1=img1, img2=img2,
+            cap1=cap1.astype(np.int32), cap2=cap2.astype(np.int32),
+            cap_len1=len1.astype(np.int32), cap_len2=len2.astype(np.int32),
+            pair_label=lab.astype(np.int32)))
+    return ref_batches, our_batches
+
+
+def run_lstm_ab(ref, fusion_type: str, ref_batches, our_batches, tmpdir: str,
+                vocab: int = 1500, seed: int = 13):
+    """LSTM-path eval A/B (reference prepare_test_data sort/pack/unsort +
+    RNNEncoder vs our length-aware scan) for fusion_type in {concat, linear}.
+    (The reference's own test() crashes for LSTM+fcfm — utils/modules.py:145
+    passes 4 args to WordLevelCFA_LSTM's 2-arg forward — so fcfm has no
+    reference behavior to match; see docs/DEVIATIONS.md.)"""
+    import torch
+
+    torch.manual_seed(seed)
+    rng = np.random.default_rng(seed)
+
+    args_r = _args_ref(fusion_type, os.path.join(tmpdir, f"ref_l_{fusion_type}"))
+    args_r.en_type = "LSTM"
+    args_r.vocab_size = vocab
+    args_r.lstm_words_num = 18
+    args_r.embedding_dim = 256
+
+    enc_t = ref.models.RNNEncoder(args_r, nhidden=args_r.embedding_dim)
+    bb_t = ref.iresnet.iresnet18()
+    ih_t = ref.models.ImageHeading(args_r)
+    net_t = ref.fusion.LinearFusion(args_r) if fusion_type == "linear" else None
+    for m in (enc_t, bb_t, ih_t, net_t):
+        if m is not None:
+            _randomize_buffers(m, rng)
+            m.eval()
+
+    ref.modules.test(ref_batches, bb_t, ih_t, net_t, enc_t, None, args_r)
+    yt_ref, ys_ref = _load_roc(args_r.roc_file + ".npy")
+
+    import jax.numpy as jnp
+
+    from text_guided_face_recognition_tpu import models as M
+    from text_guided_face_recognition_tpu.config import TGFRConfig
+    from text_guided_face_recognition_tpu.engine import convert as C
+    from text_guided_face_recognition_tpu.engine import evaluate
+    from text_guided_face_recognition_tpu.engine.prepare import Bundle
+
+    def sd(m):
+        return {k: np.asarray(v.detach().numpy())
+                for k, v in m.state_dict().items()}
+
+    key = __import__("jax").random.PRNGKey(0)
+    bb = M.iresnet18(dtype=jnp.float32)
+    bb_vars = _cast_like(bb.init(key, jnp.zeros((1, IMG, IMG, 3))),
+                         C.convert_iresnet(sd(bb_t)))
+    ih = M.ImageHeading(feat_dim=FEAT)
+    ih_vars = _cast_like(
+        ih.init(key, jnp.zeros((1, 512)), jnp.zeros((1, 14, 14, 256))),
+        C.convert_image_heading(sd(ih_t)))
+    te = M.RNNEncoder(vocab_size=vocab, en_type="LSTM", nhidden=256)
+    te_vars = _cast_like(
+        te.init(key, jnp.zeros((1, 18), jnp.int32), jnp.ones((1,), jnp.int32)),
+        C.convert_rnn_encoder(sd(enc_t), "LSTM"))
+    fu_bundle = None
+    if fusion_type == "linear":
+        fu = M.LinearFusion(fusion_final_dim=640)
+        fu_vars = _cast_like(
+            fu.init(key, jnp.zeros((1, 256)), jnp.zeros((1, FEAT))),
+            C.convert_linear_fusion(sd(net_t)))
+        fu_bundle = Bundle(fu, fu_vars)
+
+    args_o = TGFRConfig().replace(
+        en_type="LSTM", model_type="arcface", fusion_type=fusion_type,
+        is_roc=True, is_ident=False, vocab_size=vocab,
+        roc_file=os.path.join(tmpdir, f"ours_l_{fusion_type}"))
+    evaluate.run_test(args_o, our_batches, Bundle(bb, bb_vars),
+                      Bundle(ih, ih_vars), fu_bundle, Bundle(te, te_vars),
+                      None)
+    yt_our, ys_our = _load_roc(args_o.roc_file + ".npy")
+    assert np.array_equal(yt_ref, yt_our), "pair labels diverged"
+    return _compare(f"run_test_lstm/{fusion_type}", yt_ref, ys_ref, ys_our)
+
+
+def run_org_face_ab(ref, model_type: str, ref_batches, our_batches,
+                    tmpdir: str, seed: int = 11):
+    """COTS-baseline A/B (reference src/org_face_test.py:17-58 semantics:
+    cosine on raw global backbone features) for each backbone family, driving
+    the reference's real backbone modules."""
+    import torch
+
+    torch.manual_seed(seed)
+    rng = np.random.default_rng(seed)
+
+    import jax.numpy as jnp
+
+    from text_guided_face_recognition_tpu import models as M
+    from text_guided_face_recognition_tpu.config import TGFRConfig
+    from text_guided_face_recognition_tpu.engine import convert as C
+    from text_guided_face_recognition_tpu.engine import evaluate
+    from text_guided_face_recognition_tpu.engine.prepare import Bundle
+    from text_guided_face_recognition_tpu.models.magface import (
+        network_builder)
+
+    def sd(m):
+        return {k: np.asarray(v.detach().numpy())
+                for k, v in m.state_dict().items()}
+
+    key = __import__("jax").random.PRNGKey(0)
+    if model_type == "arcface":
+        bb_t = ref.iresnet.iresnet18()
+        bb = M.iresnet18(dtype=jnp.float32)
+    elif model_type == "adaface":
+        bb_t = ref.net.build_model("ir_18")
+        bb = M.build_model("ir_18", dtype=jnp.float32)
+    else:  # magface
+        bb_t = ref.network.NetworkBuilder(arch="iresnet18")
+        bb = network_builder("iresnet18", dtype=jnp.float32)
+    _randomize_buffers(bb_t, rng)
+    bb_t.eval()
+    conv = (C.convert_iresnet(sd(bb_t)) if model_type == "arcface" else
+            C.convert_irbackbone(sd(bb_t)) if model_type == "adaface" else
+            C.convert_magface({f"module.{k}": v for k, v in sd(bb_t).items()}))
+    bb_vars = _cast_like(bb.init(key, jnp.zeros((1, IMG, IMG, 3))), conv)
+
+    # reference side: raw-global-feature cosine (src/org_face_test.py:29-47)
+    preds_ref, labels = [], []
+    cos = torch.nn.CosineSimilarity(dim=1, eps=1e-6)
+    with torch.no_grad():
+        for img1, img2, *_rest, lab in ref_batches:
+            out1 = bb_t(img1)
+            out2 = bb_t(img2)
+            g1 = out1[0] if isinstance(out1, tuple) else out1
+            g2 = out2[0] if isinstance(out2, tuple) else out2
+            preds_ref += cos(g1, g2).tolist()
+            labels += lab.tolist()
+
+    args_o = TGFRConfig().replace(
+        en_type="BERT", model_type=model_type, is_roc=True, is_ident=False,
+        roc_file=os.path.join(tmpdir, f"ours_org_{model_type}"))
+    evaluate.org_face_test(args_o, our_batches, Bundle(bb, bb_vars))
+    yt_our, ys_our = _load_roc(args_o.roc_file + ".npy")
+    assert np.array_equal(np.asarray(labels, np.float64), yt_our)
+    return _compare(f"org_face/{model_type}", yt_our, np.asarray(preds_ref),
+                    ys_our)
+
+
+# ------------------------------------------------------------------ report --
+
+def _compare(name: str, y_true, ys_ref, ys_our):
+    from text_guided_face_recognition_tpu.utils.metrics import roc_metrics
+
+    d = np.abs(ys_ref - ys_our)
+    mr = roc_metrics(ys_ref, y_true)
+    mo = roc_metrics(ys_our, y_true)
+    out = dict(name=name, pairs=len(y_true), max_delta=float(d.max()),
+               mean_delta=float(d.mean()),
+               auc_ref=mr["auc"], auc_ours=mo["auc"],
+               auc_delta=abs(mr["auc"] - mo["auc"]),
+               eer_ref=mr["eer"], eer_ours=mo["eer"],
+               eer_delta=abs(mr["eer"] - mo["eer"]))
+    print(f"[{name}] pairs={out['pairs']} max|ds|={out['max_delta']:.3e} "
+          f"mean|ds|={out['mean_delta']:.3e} dAUC={out['auc_delta']:.3e} "
+          f"dEER={out['eer_delta']:.3e}")
+    return out
+
+
+def write_report(results, path: str, meta: dict):
+    lines = [
+        "# Reference A/B parity report",
+        "",
+        "A/B runs of the **actual reference implementation** "
+        "(`/root/reference`'s own torch modules, driven through its "
+        "`utils/modules.py test()` loop) vs this framework "
+        "(`evaluate.run_test` / `org_face_test`) on identical inputs with "
+        "shared random weights (torch `state_dict` -> `engine/convert.py`).",
+        "",
+        f"Generated by `python tools/ab_reference.py` with {meta}.",
+        "",
+        "| path | pairs | max&nbsp;|Δscore| | mean&nbsp;|Δscore| | ΔAUC | ΔEER |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        lines.append(
+            f"| {r['name']} | {r['pairs']} | {r['max_delta']:.3e} "
+            f"| {r['mean_delta']:.3e} | {r['auc_delta']:.3e} "
+            f"| {r['eer_delta']:.3e} |")
+    worst = max(r["max_delta"] for r in results)
+    lines += [
+        "",
+        f"Worst per-pair cosine-score delta across all paths: "
+        f"**{worst:.3e}** (fp32 CPU, torch vs XLA). AUC/EER are "
+        "metric-identical at these deltas.",
+        "",
+        "Covered: full eval loop for fusion_type ∈ {concat, linear, fcfm} "
+        "(BERT text tower: reference `TextEncoder`+`TextHeading`; frozen "
+        "iresnet18; `ImageHeading`/IMIM; `Working` FCFM / `LinearFusion`), "
+        "the LSTM eval paths (reference packed-`RNNEncoder` "
+        "sort/pack/unsort vs our length-aware scan; concat + linear — the "
+        "reference's own test() crashes for LSTM+fcfm, "
+        "utils/modules.py:145), and the COTS org-face baseline for all "
+        "three backbone families (reference `models/iresnet.py`, "
+        "`models/net.py` ir_18, `models/network.py` MagFace "
+        "NetworkBuilder).",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote", path)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--bert-layers", type=int, default=12)
+    ap.add_argument("--fusions", default="concat,linear,fcfm")
+    ap.add_argument("--lstm-fusions", default="concat,linear")
+    ap.add_argument("--backbones", default="arcface,adaface,magface")
+    ap.add_argument("--atol", type=float, default=1e-3)
+    ap.add_argument("--report", default="")
+    args = ap.parse_args()
+
+    # force JAX onto CPU before any device query (axon-pinned host)
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    ref = import_reference(args.bert_layers)
+    rng = np.random.default_rng(0)
+    ref_batches, our_batches = make_pairs(rng, args.pairs, args.batch)
+
+    results = []
+    with tempfile.TemporaryDirectory() as tmpdir:
+        for mt in [m for m in args.backbones.split(",") if m]:
+            results.append(run_org_face_ab(ref, mt, ref_batches, our_batches,
+                                           tmpdir))
+        for ft in [f for f in args.fusions.split(",") if f]:
+            results.append(run_full_ab(ref, ft, args.bert_layers, ref_batches,
+                                       our_batches, tmpdir))
+        if args.lstm_fusions:
+            ref_l, our_l = make_pairs_lstm(rng, args.pairs, args.batch)
+            for ft in [f for f in args.lstm_fusions.split(",") if f]:
+                results.append(run_lstm_ab(ref, ft, ref_l, our_l, tmpdir))
+
+    if args.report:
+        write_report(results, args.report,
+                     dict(pairs=args.pairs, batch=args.batch,
+                          bert_layers=args.bert_layers))
+    worst = max(r["max_delta"] for r in results)
+    ok = worst <= args.atol
+    print("A/B PARITY:", "PASS" if ok else f"FAIL (max delta {worst:.3e} > "
+          f"{args.atol})")
+    return 0 if ok else 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
