@@ -26,9 +26,76 @@ import time
 BASELINE_PAIRS_PER_SEC = 200.0  # documented estimate, see module docstring
 
 
+def spmd_main():
+    """--spmd: time the explicit shard_map stage-1 step on the 8-device
+    virtual CPU mesh (correctness-scale SPMD artifact — all_gather'd
+    contrastive negatives + psum'd grads actually executing multi-device;
+    NOT a perf number). Prints its own JSON line."""
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                               " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from text_guided_face_recognition_tpu.config import TGFRConfig
+    from text_guided_face_recognition_tpu.engine.stage1 import Stage1Trainer
+    from text_guided_face_recognition_tpu.parallel import make_mesh
+    from text_guided_face_recognition_tpu.parallel.spmd import (
+        make_shardmap_train_step)
+
+    n = 8
+    B = 2 * n
+    args = TGFRConfig().replace(
+        en_type="BERT", bert_type="groupvit", synthetic=True, batch_size=B,
+        num_workers=2, num_devices=n, max_epoch=1, compute_dtype="float32",
+        num_classes=64)
+    trainer = Stage1Trainer(args)
+    mesh = make_mesh(n)
+    rng = np.random.default_rng(0)
+    batch = {
+        "img": jnp.asarray(rng.normal(size=(B, 112, 112, 3)).astype(np.float32)),
+        "caps": jnp.asarray(rng.integers(10, 49000, (B, 24)).astype(np.int32)),
+        "mask": jnp.ones((B, 24), jnp.int32),
+        "cls_id": jnp.asarray(rng.integers(0, 64, B).astype(np.int32)),
+    }
+    batch = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+             for k, v in batch.items()}
+    repl = NamedSharding(mesh, P())
+    state = jax.device_put(trainer.state, repl)
+    frozen = jax.device_put(trainer.backbone.variables, repl)
+    key = jax.random.PRNGKey(0)
+
+    step = make_shardmap_train_step(trainer, mesh)
+    state, metrics = step(state, batch, frozen, key)
+    jax.block_until_ready(metrics["total_loss"])
+    steps = 5
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, batch, frozen, key)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "stage1_spmd_shardmap_step_cpu8",
+        "value": round(steps * B / dt, 2),
+        "unit": "pairs/s (8-device virtual CPU mesh; correctness-scale)",
+        "devices": jax.device_count(),
+        "loss_finite": bool(np.isfinite(float(metrics["total_loss"]))),
+    }))
+
+
 def main():
     import os
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    if "--spmd" in sys.argv:
+        return spmd_main()
 
     force_cpu = "--cpu" in sys.argv
     import jax

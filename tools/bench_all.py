@@ -91,15 +91,19 @@ def main():
     results.append({"metric": "stage1_lstm_train", "value": round(v, 1),
                     "unit": "pairs/s/chip"})
 
-    # stage-2 FCFM BERT (reference batch 16)
-    a = TGFRConfig().replace(en_type="BERT", bert_type="bert", synthetic=True,
-                             batch_size=16, num_workers=2, max_epoch=1,
-                             fusion_type="fcfm", CONFIG_NAME="Fusion")
-    tr = FusionTrainer(a)
-    v = _bench(tr._train_step, tr.state, synth_batch(16),
-               tr.backbone.variables, key, steps, 16)
-    results.append({"metric": "stage2_fcfm_bert_train", "value": round(v, 1),
-                    "unit": "pairs/s/chip"})
+    # stage-2 FCFM BERT: reference batch 16 + utilization sweep 32/64
+    # (VERDICT r02 item 7 — the chip is underutilized at the reference's 16)
+    for B2 in (16, 32, 64):
+        a = TGFRConfig().replace(en_type="BERT", bert_type="bert",
+                                 synthetic=True, batch_size=B2, num_workers=2,
+                                 max_epoch=1, fusion_type="fcfm",
+                                 CONFIG_NAME="Fusion")
+        tr = FusionTrainer(a)
+        v = _bench(tr._train_step, tr.state, synth_batch(B2),
+                   tr.backbone.variables, key, steps, B2)
+        suffix = "" if B2 == 16 else f"_b{B2}"
+        results.append({"metric": f"stage2_fcfm_bert_train{suffix}",
+                        "value": round(v, 1), "unit": "pairs/s/chip"})
 
     # fused-verification forward (test.py path), 32 pairs/batch
     import __graft_entry__ as G
