@@ -94,9 +94,24 @@ def import_reference(bert_layers: int):
     import models.models as ref_models
     import models.fusion_nets as ref_fusion
     import models.iresnet as ref_iresnet
+    import models.losses as ref_losses
+    import models.metrics as ref_metrics
     import models.net as ref_net
     import models.network as ref_network
     import utils.modules as ref_modules
+
+    # metrics.py hard-codes torch.zeros(..., device='cuda') for the one-hot
+    # scatter (models/metrics.py:53,87); rewrite to cpu when CUDA is absent
+    if not torch.cuda.is_available():
+        _orig_zeros = torch.zeros
+
+        def _zeros(*a, **k):
+            if str(k.get("device")) == "cuda":
+                k["device"] = "cpu"
+            return _orig_zeros(*a, **k)
+
+        for mod in (ref_metrics,):
+            mod.torch.zeros = _zeros  # module-level torch alias
 
     # offline HF: same arch as bert-base-uncased, random weights
     from transformers import BertConfig, BertModel
@@ -111,6 +126,7 @@ def import_reference(bert_layers: int):
     ref_net.Flatten.forward = lambda self, x: x.reshape(x.size(0), -1)
     return types.SimpleNamespace(
         models=ref_models, fusion=ref_fusion, iresnet=ref_iresnet,
+        losses=ref_losses, metrics=ref_metrics,
         net=ref_net, network=ref_network, modules=ref_modules)
 
 
