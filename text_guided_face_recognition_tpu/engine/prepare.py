@@ -355,9 +355,15 @@ def prepare_dataloader(args, split: str, transform=None):
         args.test_sub = len(ds) // 4
 
     if split == "train":
+        # Multi-host pods: each process loads only its slice of every global
+        # batch (same seeded permutation on all hosts -> identical global
+        # batch composition to a single-host run; see data/loader.py).
+        import jax
+        shard = ((jax.process_index(), jax.process_count())
+                 if jax.process_count() > 1 else None)
         dl = DataLoader(ds, batch_size=args.batch_size, drop_last=True,
                         shuffle=True, num_workers=args.num_workers,
-                        seed=args.manual_seed)
+                        seed=args.manual_seed, process_shard=shard)
     else:
         dl = DataLoader(ds, batch_size=args.batch_size, drop_last=False,
                         shuffle=False, num_workers=args.num_workers)

@@ -32,7 +32,7 @@ from text_guided_face_recognition_tpu.engine.evaluate import run_test
 from text_guided_face_recognition_tpu.engine.stage1 import TrainState
 from text_guided_face_recognition_tpu.parallel import (
     make_data_mesh,
-    shard_batch,
+    prefetch_to_device,
 )
 from text_guided_face_recognition_tpu.utils.logging import MetricLogger
 from text_guided_face_recognition_tpu.utils.profiling import (
@@ -184,10 +184,9 @@ class FusionTrainer:
         t0 = time.time()
         frozen = self.backbone.variables
         acc = None
-        for batch in self.train_dl:
+        for device_batch in prefetch_to_device(self.train_dl, self.mesh,
+                                               drop_keys=("key",)):
             self._dropout_key, sub = jax.random.split(self._dropout_key)
-            device_batch = shard_batch(
-                {k: v for k, v in batch.items() if k != "key"}, self.mesh)
             with maybe_profile(args, n):
                 self.state, acc = self._train_step(
                     self.state, device_batch, frozen, sub, acc)

@@ -22,7 +22,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]
+__all__ = ["make_mesh", "make_data_mesh", "batch_sharding", "replicated",
+           "shard_batch", "prefetch_to_device"]
 
 
 def make_mesh(num_devices: int = 0,
@@ -66,8 +67,51 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Optional[Mesh], axis: str = "data") -> dict:
-    """device_put each array with its batch axis sharded (host -> HBM)."""
+    """device_put each array with its batch axis sharded (host -> HBM).
+
+    Multi-host (process_count > 1): each process holds only its local slice
+    of the global batch (data/loader.py `process_shard`); the global array is
+    assembled with `jax.make_array_from_process_local_data` — no cross-host
+    data movement, addressable shards stay on their producing host."""
     if mesh is None or mesh.size == 1:
         return jax.device_put(batch)
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+                for k, v in batch.items()}
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def prefetch_to_device(iterator, mesh: Optional[Mesh], size: int = 2,
+                       drop_keys: Sequence[str] = ()):
+    """Double-buffered host->HBM pipeline over a host batch iterator.
+
+    Keeps up to `size` batches' `shard_batch` transfers in flight ahead of
+    consumption, so the H2D copy of step n+1 overlaps the device compute of
+    step n (jax transfers are asynchronous — issuing device_put early is
+    enough; no extra threads). The torch-reference equivalent is
+    DataLoader(pin_memory) + the implicit overlap CUDA streams give
+    nn.DataParallel (reference: utils/prepare.py:213-242); on TPU the
+    transfer must be issued ahead explicitly or each step eats the copy
+    latency synchronously."""
+    from collections import deque
+    buf: deque = deque()
+    it = iter(iterator)
+
+    def _put(b: dict) -> dict:
+        if drop_keys:
+            b = {k: v for k, v in b.items() if k not in drop_keys}
+        return shard_batch(b, mesh)
+
+    try:
+        while len(buf) < max(1, size):
+            buf.append(_put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(_put(next(it)))
+        except StopIteration:
+            pass
+        yield out
