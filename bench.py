@@ -6,6 +6,13 @@ optimizer — i.e. the reference's `train_encoders_bert.py` hot loop (batch 32,
 cfg/train_bert.yml:41) as one jitted TPU step on synthetic device-resident
 data (pure compute throughput; input pipeline overlaps on real runs).
 
+Measurement methodology (utils/benching.py): the per-step time is the
+MARGINAL cost between two single-dispatch `lax.scan` chains of the train step
+(k=4 vs k=24), which (a) cancels dispatch/readiness overhead exactly and
+(b) is immune to the TPU-tunnel artifact where `block_until_ready` over a
+Python loop of async dispatches returns before chained executions retire
+(it under-reported this step ~5x; see docs/BENCHMARKS.md "Methodology").
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference repo publishes no numbers (BASELINE.md), so the
@@ -79,14 +86,14 @@ def spmd_main():
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step(state, batch, frozen, key)
-    jax.block_until_ready(metrics["total_loss"])
+    loss = float(metrics["total_loss"])  # value fetch = execution fence
     dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": "stage1_spmd_shardmap_step_cpu8",
         "value": round(steps * B / dt, 2),
         "unit": "pairs/s (8-device virtual CPU mesh; correctness-scale)",
         "devices": jax.device_count(),
-        "loss_finite": bool(np.isfinite(float(metrics["total_loss"]))),
+        "loss_finite": bool(np.isfinite(loss)),
     }))
 
 
@@ -109,6 +116,8 @@ def main():
 
     from text_guided_face_recognition_tpu.config import TGFRConfig
     from text_guided_face_recognition_tpu.engine.stage1 import Stage1Trainer
+    from text_guided_face_recognition_tpu.utils.benching import (
+        time_chained_steps)
 
     B = 32  # reference stage-1 BERT batch (cfg/train_bert.yml:41)
     args = TGFRConfig().replace(
@@ -125,21 +134,15 @@ def main():
         "cls_id": jnp.asarray(rng.integers(0, 4500, B).astype(np.int32)),
     }
     frozen = trainer.backbone.variables
-    key = jax.random.PRNGKey(0)
 
-    # compile + warmup
-    state, metrics = trainer._train_step(trainer.state, batch, frozen, key)
-    jax.block_until_ready(metrics["total_loss"])
+    def inner(state, key):
+        state, metrics = trainer._train_step_fn(state, batch, frozen, key)
+        return state, metrics["total_loss"]
 
-    steps = 5 if force_cpu else 30
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = trainer._train_step(state, batch, frozen, key)
-    jax.block_until_ready(metrics["total_loss"])
-    dt = time.perf_counter() - t0
-
-    n_chips = jax.device_count()
-    pairs_per_sec_per_chip = steps * B / dt / n_chips
+    ks = (2, 6) if force_cpu else (4, 24)
+    ms = time_chained_steps(inner, trainer.state, jax.random.PRNGKey(0),
+                            ks=ks)
+    pairs_per_sec_per_chip = B / (ms / 1000.0) / jax.device_count()
     print(json.dumps({
         "metric": "stage1_bert_train_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec_per_chip, 2),

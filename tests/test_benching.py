@@ -1,0 +1,61 @@
+"""Scan-chained benchmarking helper (utils/benching.py).
+
+The helper exists because multi-dispatch async timing through the TPU tunnel
+is unreliable (see the module docstring); these tests pin the semantics that
+make the scan measurement trustworthy: k true chained executions per
+dispatch, and a real data dependence in the forward variant.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from text_guided_face_recognition_tpu.utils.benching import (
+    chain_steps,
+    time_chained_forward,
+    time_chained_steps,
+)
+
+
+def test_chain_steps_executes_k_chained_iterations():
+    def inner(state, key):
+        # state must thread through iterations; key must differ per step
+        bump = jax.random.uniform(key, ())
+        return state + 1.0, state + bump
+
+    run = chain_steps(inner, donate=False)
+    state, scalars = run(jnp.float32(0), jax.random.PRNGKey(0), 5)
+    assert float(state) == 5.0
+    assert scalars.shape == (5,)
+    # per-step scalars reflect the threaded state (0, 1, 2, ...)
+    np.testing.assert_allclose(np.floor(np.asarray(scalars)),
+                               np.arange(5), atol=0)
+    # rng keys differ step to step -> bumps are not all equal
+    bumps = np.asarray(scalars) - np.arange(5)
+    assert len(np.unique(np.round(bumps, 6))) > 1
+
+
+def test_time_chained_steps_returns_positive_marginal_ms():
+    def inner(state, key):
+        state = state @ state * 1e-3 + 1e-3
+        return state, jnp.sum(state)
+
+    ms = time_chained_steps(inner, jnp.eye(256, dtype=jnp.float32),
+                            jax.random.PRNGKey(0), ks=(2, 16), donate=False,
+                            repeats=3)
+    assert ms > 0
+
+
+def test_time_chained_forward_positive_and_dependence_kept():
+    calls = {"traces": 0}
+
+    def fwd(x, w):
+        calls["traces"] += 1
+        return (x @ w) @ w * 1e-3
+
+    w = jnp.ones((256, 256), jnp.float32) * 1e-2
+    ms = time_chained_forward(fwd, (jnp.ones((256, 256), jnp.float32), w),
+                              ks=(2, 16), repeats=3)
+    assert ms > 0
+    # traced inside scan once per k-program, not once per iteration
+    assert calls["traces"] <= 4

@@ -109,6 +109,8 @@ class FusionTrainer:
             return TrainState(params=new_params, batch_stats=new_stats,
                               opt_state=new_opt, step=state.step + 1), metrics
 
+        # unjitted step kept for scan-chained benchmarking (utils/benching.py)
+        self._train_step_fn = train_step
         return jax.jit(train_step, donate_argnums=(0,))
 
     def build_loss_fn(self):

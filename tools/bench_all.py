@@ -4,10 +4,14 @@ Complements the driver-facing bench.py (which reports the single flagship
 metric) with the full matrix from BASELINE.json's config list:
   * stage-1 BERT train step   (batch 32, cfg/train_bert.yml schedule shapes)
   * stage-1 LSTM train step   (batch 128, cfg/train_lstm.yml)
-  * stage-2 FCFM-BERT step    (batch 16, cfg/fusion_bert.yml)
-  * fused-verification forward (test.py path, batch 32 pairs)
+  * stage-2 FCFM-BERT step    (batch 16, cfg/fusion_bert.yml) + 32/64 sweep
+  * fused verification forward (test.py path, batch 32 pairs)
 
-Usage: python tools/bench_all.py [--cpu] [--steps N]
+All timings use the scan-chained single-dispatch methodology
+(utils/benching.py) — multi-dispatch async loops under-report through the
+TPU tunnel (docs/BENCHMARKS.md "Methodology").
+
+Usage: python tools/bench_all.py [--cpu] [--ks 4,24]
 """
 
 from __future__ import annotations
@@ -16,28 +20,16 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..")))
 
 
-def _bench(step_fn, state, batch, frozen, rng, steps, batch_size):
-    import jax
-    state, metrics = step_fn(state, batch, frozen, rng)  # compile
-    jax.block_until_ready(jax.tree_util.tree_leaves(metrics)[0])
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = step_fn(state, batch, frozen, rng)
-    jax.block_until_ready(jax.tree_util.tree_leaves(metrics)[0])
-    dt = time.perf_counter() - t0
-    return steps * batch_size / dt / jax.device_count()
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--ks", default=None,
+                    help="comma-separated scan lengths, e.g. 4,24")
     args_cli = ap.parse_args()
 
     import jax
@@ -52,10 +44,17 @@ def main():
     from text_guided_face_recognition_tpu.config import TGFRConfig
     from text_guided_face_recognition_tpu.engine.stage1 import Stage1Trainer
     from text_guided_face_recognition_tpu.engine.stage2 import FusionTrainer
+    from text_guided_face_recognition_tpu.utils.benching import (
+        time_chained_forward,
+        time_chained_steps,
+    )
 
+    if args_cli.ks:
+        ks = tuple(int(x) for x in args_cli.ks.split(","))
+    else:
+        ks = (2, 6) if args_cli.cpu else (4, 24)
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
-    steps = args_cli.steps
     results = []
 
     def synth_batch(B, bert=True, T=24):
@@ -73,50 +72,54 @@ def main():
                 rng.integers(5, 19, B).astype(np.int32))
         return b
 
+    def bench_trainer(trainer, batch, B, metric):
+        frozen = trainer.backbone.variables
+
+        def inner(state, k):
+            state, m = trainer._train_step_fn(state, batch, frozen, k)
+            scalar = m["total_loss"] if "total_loss" in m else m["loss"]
+            return state, scalar
+
+        ms = time_chained_steps(inner, trainer.state, key, ks=ks)
+        results.append({"metric": metric, "value": round(B / ms * 1000.0, 1),
+                        "unit": "pairs/s/chip",
+                        "ms_per_step": round(ms, 3)})
+
     # stage-1 BERT (reference batch 32)
     a = TGFRConfig().replace(en_type="BERT", bert_type="bert", synthetic=True,
                              batch_size=32, num_workers=2, max_epoch=1)
-    tr = Stage1Trainer(a)
-    v = _bench(tr._train_step, tr.state, synth_batch(32),
-               tr.backbone.variables, key, steps, 32)
-    results.append({"metric": "stage1_bert_train", "value": round(v, 1),
-                    "unit": "pairs/s/chip"})
+    bench_trainer(Stage1Trainer(a), synth_batch(32), 32, "stage1_bert_train")
 
     # stage-1 LSTM (reference batch 128)
     a = TGFRConfig().replace(en_type="LSTM", synthetic=True, batch_size=128,
                              num_workers=2, max_epoch=1, lambda_clip=1.0)
-    tr = Stage1Trainer(a)
-    v = _bench(tr._train_step, tr.state, synth_batch(128, bert=False),
-               tr.backbone.variables, key, steps, 128)
-    results.append({"metric": "stage1_lstm_train", "value": round(v, 1),
-                    "unit": "pairs/s/chip"})
+    bench_trainer(Stage1Trainer(a), synth_batch(128, bert=False), 128,
+                  "stage1_lstm_train")
 
     # stage-2 FCFM BERT: reference batch 16 + utilization sweep 32/64
-    # (VERDICT r02 item 7 — the chip is underutilized at the reference's 16)
     for B2 in (16, 32, 64):
         a = TGFRConfig().replace(en_type="BERT", bert_type="bert",
                                  synthetic=True, batch_size=B2, num_workers=2,
                                  max_epoch=1, fusion_type="fcfm",
                                  CONFIG_NAME="Fusion")
-        tr = FusionTrainer(a)
-        v = _bench(tr._train_step, tr.state, synth_batch(B2),
-                   tr.backbone.variables, key, steps, B2)
         suffix = "" if B2 == 16 else f"_b{B2}"
-        results.append({"metric": f"stage2_fcfm_bert_train{suffix}",
-                        "value": round(v, 1), "unit": "pairs/s/chip"})
+        bench_trainer(FusionTrainer(a), synth_batch(B2), B2,
+                      f"stage2_fcfm_bert_train{suffix}")
 
     # fused-verification forward (test.py path), 32 pairs/batch
     import __graft_entry__ as G
     fwd, ex = G.entry()
-    jfwd = jax.jit(fwd)
-    out = jax.block_until_ready(jfwd(*ex))
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = jfwd(*ex)
-    jax.block_until_ready(out)
-    v = steps * ex[1].shape[0] / (time.perf_counter() - t0) / jax.device_count()
-    results.append({"metric": "verification_forward", "value": round(v, 1),
-                    "unit": "pairs/s/chip"})
+    variables, img1, img2, ids1, ids2, mask1, mask2 = ex
+
+    def fwd_img_first(img1_, variables_, img2_, ids1_, ids2_, mask1_, mask2_):
+        return fwd(variables_, img1_, img2_, ids1_, ids2_, mask1_, mask2_)
+
+    ms = time_chained_forward(
+        fwd_img_first, (img1, variables, img2, ids1, ids2, mask1, mask2),
+        ks=ks)
+    results.append({"metric": "verification_forward",
+                    "value": round(img1.shape[0] / ms * 1000.0, 1),
+                    "unit": "pairs/s/chip", "ms_per_step": round(ms, 3)})
 
     for r in results:
         print(json.dumps(r))
