@@ -1,0 +1,172 @@
+"""Device-op breakdown of the stage-1 train step (where do the ms go?).
+
+Traces one scan-chained invocation of the flagship train step (same program
+bench.py times) with jax.profiler — the device timeline through the axon
+tunnel is real even though host-side dispatch timing is not — then parses the
+xplane.pb and aggregates per-op device time.
+
+Usage: python tools/profile_step.py [--batch 32] [--k 8] [--top 25]
+                                    [--stage 1|2] [--cpu]
+Prints one JSON line per aggregated op group plus a total line; the per-step
+cost is total_device_ms / k.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
+
+
+def parse_xplane(trace_dir: str, device_only: bool = True):
+    """Aggregate XEvent durations by op metadata name across device planes.
+
+    Returns (events_by_name: {name: total_ms}, plane_names: [str]).
+    Only planes whose name contains 'TPU' or 'device' (case-insensitive) are
+    counted unless device_only=False — host planes time Python, not the chip.
+    """
+    from tensorflow.core.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                      recursive=True)
+    if not paths:
+        raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
+    agg = collections.defaultdict(float)
+    planes = []
+    for p in paths:
+        space = xplane_pb2.XSpace()
+        with open(p, "rb") as f:
+            space.ParseFromString(f.read())
+        for plane in space.planes:
+            nm = plane.name
+            is_dev = ("tpu" in nm.lower() or "/device:" in nm.lower()
+                      or "gpu" in nm.lower())
+            planes.append(nm)
+            if device_only and not is_dev:
+                continue
+            meta = {k: v.name for k, v in plane.event_metadata.items()}
+            for line in plane.lines:
+                for ev in line.events:
+                    name = meta.get(ev.metadata_id, str(ev.metadata_id))
+                    agg[name] += ev.duration_ps / 1e9  # ps -> ms
+    return dict(agg), planes
+
+
+GROUPS = (
+    ("fusion", "fusion"),            # XLA fused elementwise/reduce kernels
+    ("convolution", "conv"),
+    ("dot", "matmul"),
+    ("all-reduce", "collective"),
+    ("all-gather", "collective"),
+    ("copy", "copy"),
+    ("dynamic", "dynamic-slice/update"),
+    ("scatter", "scatter"),
+    ("reduce", "reduce"),
+    ("rng", "rng"),
+    ("custom-call", "custom-call"),
+)
+
+
+def group_of(name: str) -> str:
+    low = name.lower()
+    for key, g in GROUPS:
+        if key in low:
+            return g
+    return "other"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--stage", type=int, default=1)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--trace-dir", default=None,
+                    help="parse an existing trace instead of capturing")
+    args_cli = ap.parse_args()
+
+    import jax
+
+    if args_cli.trace_dir is None:
+        if args_cli.cpu:
+            jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        import jax.numpy as jnp
+        import numpy as np
+
+        from text_guided_face_recognition_tpu.config import TGFRConfig
+        from text_guided_face_recognition_tpu.engine.stage1 import Stage1Trainer
+        from text_guided_face_recognition_tpu.engine.stage2 import FusionTrainer
+        from text_guided_face_recognition_tpu.utils.benching import chain_steps
+
+        B = args_cli.batch
+        rng = np.random.default_rng(0)
+        batch = {
+            "img": jnp.asarray(
+                rng.normal(size=(B, 112, 112, 3)).astype(np.float32)),
+            "caps": jnp.asarray(
+                rng.integers(1000, 30000, (B, 24)).astype(np.int32)),
+            "mask": jnp.ones((B, 24), jnp.int32),
+            "cls_id": jnp.asarray(rng.integers(0, 4500, B).astype(np.int32)),
+        }
+        base = TGFRConfig().replace(
+            en_type="BERT", bert_type="bert", synthetic=True, batch_size=B,
+            num_workers=2, max_epoch=1)
+        if args_cli.stage == 2:
+            base = base.replace(fusion_type="fcfm", CONFIG_NAME="Fusion")
+            tr = FusionTrainer(base)
+        else:
+            tr = Stage1Trainer(base)
+        frozen = tr.backbone.variables
+
+        def inner(state, k):
+            state, m = tr._train_step_fn(state, batch, frozen, k)
+            scalar = m["total_loss"] if "total_loss" in m else m["loss"]
+            return state, scalar
+
+        run = chain_steps(inner, donate=False)
+        key = jax.random.PRNGKey(0)
+        state, scalars = run(tr.state, key, args_cli.k)   # compile + warm
+        jax.block_until_ready(scalars)
+
+        trace_dir = tempfile.mkdtemp(prefix="tgfr_trace_")
+        jax.profiler.start_trace(trace_dir)
+        state, scalars = run(tr.state, key, args_cli.k)
+        jax.block_until_ready(scalars)
+        jax.profiler.stop_trace()
+    else:
+        trace_dir = args_cli.trace_dir
+
+    agg, planes = parse_xplane(trace_dir)
+    if not agg:
+        print(json.dumps({"error": "no device events",
+                          "planes": sorted(set(planes))}))
+        return
+    total = sum(agg.values())
+    k = args_cli.k
+    by_group = collections.defaultdict(float)
+    for name, ms in agg.items():
+        by_group[group_of(name)] += ms
+    print(json.dumps({"metric": "device_total_ms_per_step",
+                      "value": round(total / k, 3), "k": k,
+                      "trace_dir": trace_dir}))
+    for g, ms in sorted(by_group.items(), key=lambda x: -x[1]):
+        print(json.dumps({"group": g, "ms_per_step": round(ms / k, 3),
+                          "pct": round(100 * ms / total, 1)}))
+    for name, ms in sorted(agg.items(), key=lambda x: -x[1])[:args_cli.top]:
+        print(json.dumps({"op": name[:120], "ms_per_step": round(ms / k, 4),
+                          "pct": round(100 * ms / total, 1)}))
+
+
+if __name__ == "__main__":
+    main()
