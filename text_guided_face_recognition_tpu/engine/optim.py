@@ -67,46 +67,95 @@ def _encoder_tx(args, tx):
     return tx
 
 
+def _partition(tree: Dict[str, Any], group_of: Callable[[str], str]
+               ) -> Dict[str, Dict[str, Any]]:
+    out: Dict[str, Dict[str, Any]] = {}
+    for k, v in tree.items():
+        out.setdefault(group_of(k), {})[k] = v
+    return out
+
+
+def make_partitioned_flat_tx(group_txs: Dict[str, optax.GradientTransformation],
+                             group_of: Callable[[str], str]
+                             ) -> optax.GradientTransformation:
+    """Fused alternative to optax.multi_transform: partition the top-level
+    param dict into groups and run each group's transform over optax.flatten
+    — all of a group's leaves become ONE 1-D vector, so the Adam/SGD chain is
+    a handful of big fused vector ops instead of a per-leaf op soup (the
+    profiled stage-1 step spends ~3 ms/step on ~2k tiny optimizer ops;
+    elementwise updates are value-identical under flattening).
+
+    State: plain dict {group: inner_state} (orbax-serializable).
+    """
+    groups = sorted(group_txs)
+    # set_to_zero flattens harmlessly; flatten uniformly for one state shape
+    flat_txs = {g: optax.flatten(tx) for g, tx in group_txs.items()}
+
+    def init(params):
+        parts = _partition(params, group_of)
+        return {g: flat_txs[g].init(parts.get(g, {})) for g in groups}
+
+    def update(updates, state, params=None):
+        u_parts = _partition(updates, group_of)
+        p_parts = _partition(params, group_of) if params is not None else {}
+        merged: Dict[str, Any] = {}
+        new_state = {}
+        for g in groups:
+            sub = u_parts.get(g)
+            if not sub:
+                new_state[g] = state[g]
+                continue
+            u, s = flat_txs[g].update(sub, state[g], p_parts.get(g))
+            new_state[g] = s
+            merged.update(u)
+        return merged, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
+def _grouped_tx(args, group_txs: Dict[str, optax.GradientTransformation],
+                group_of: Callable[[str], str]) -> optax.GradientTransformation:
+    """Dispatch on args.fused_optimizer: flattened per-group vector updates
+    (fast path) vs optax.multi_transform over the labeled tree (reference
+    shape; value-identical updates — tests/test_optim_fused.py)."""
+    if getattr(args, "fused_optimizer", False):
+        return make_partitioned_flat_tx(group_txs, group_of)
+    return optax.multi_transform(
+        group_txs,
+        param_labels=lambda params: label_params(params, group_of))
+
+
 def make_stage1_bert_tx(args) -> optax.GradientTransformation:
     """heads-Adam(0.5, 0.999) / encoder-Adam(0.9, 0.999, wd) / cls-SGD(0.1,
     m=0.9, wd=5e-5) — reference: src/train_encoders_bert.py:212-222."""
-    return optax.multi_transform(
-        {
-            "head": _torch_adam(0.5, 0.999),
-            "encoder": _encoder_tx(args, _torch_adam(
-                0.9, 0.999, weight_decay=args.weight_decay)),
-            "cls": _torch_sgd(momentum=0.9, weight_decay=5e-5),
-        },
-        param_labels=lambda params: label_params(params, _stage1_group),
-    )
+    return _grouped_tx(args, {
+        "head": _torch_adam(0.5, 0.999),
+        "encoder": _encoder_tx(args, _torch_adam(
+            0.9, 0.999, weight_decay=args.weight_decay)),
+        "cls": _torch_sgd(momentum=0.9, weight_decay=5e-5),
+    }, _stage1_group)
 
 
 def make_stage1_lstm_tx(args) -> optax.GradientTransformation:
     """reference: src/train_encoders_lstm.py:180-189 (encoder Adam betas
     (0.9, 0.5) with weight decay, head Adam (0.5, 0.999), cls SGD)."""
-    return optax.multi_transform(
-        {
-            "head": _torch_adam(0.5, 0.999),
-            "encoder": _encoder_tx(args, _torch_adam(
-                0.9, 0.5, weight_decay=args.weight_decay)),
-            "cls": _torch_sgd(momentum=0.9, weight_decay=5e-5),
-        },
-        param_labels=lambda params: label_params(params, _stage1_group),
-    )
+    return _grouped_tx(args, {
+        "head": _torch_adam(0.5, 0.999),
+        "encoder": _encoder_tx(args, _torch_adam(
+            0.9, 0.5, weight_decay=args.weight_decay)),
+        "cls": _torch_sgd(momentum=0.9, weight_decay=5e-5),
+    }, _stage1_group)
 
 
 def make_stage2_tx(args) -> optax.GradientTransformation:
     """cls plain-SGD(lr_image_train, wd) / encoder Adam(1e-5, wd .01) /
     head Adam(lr_head, wd 5e-5) — reference: src/fusion_bert.py:118-141."""
-    return optax.multi_transform(
-        {
-            "cls": _torch_sgd(momentum=0.0, weight_decay=args.weight_decay),
-            "encoder": _encoder_tx(args, _torch_adam(0.9, 0.999,
-                                                      weight_decay=0.01)),
-            "head": _torch_adam(0.9, 0.999, weight_decay=5e-5),
-        },
-        param_labels=lambda params: label_params(params, _stage2_group),
-    )
+    return _grouped_tx(args, {
+        "cls": _torch_sgd(momentum=0.0, weight_decay=args.weight_decay),
+        "encoder": _encoder_tx(args, _torch_adam(0.9, 0.999,
+                                                  weight_decay=0.01)),
+        "head": _torch_adam(0.9, 0.999, weight_decay=5e-5),
+    }, _stage2_group)
 
 
 def _stage1_group(name: str) -> str:
@@ -126,12 +175,22 @@ def _stage2_group(name: str) -> str:
 
 
 def set_lr(opt_state, group: str, lr: float):
-    """Return a new multi_transform state with one group's learning rate set
+    """Return a new optimizer state with one group's learning rate set
     (host-side, between epochs — mirrors the reference's scheduler.step()).
 
-    Purely functional: rebuilds the NamedTuple spine via _replace instead of
-    mutating optax internals in place (in-place dict mutation only works while
-    optax happens to share the dict object across states)."""
+    Handles both state shapes: optax.multi_transform (.inner_states[group])
+    and the fused partitioned dict ({group: inner_state}). Purely functional:
+    rebuilds the NamedTuple spine via _replace instead of mutating optax
+    internals in place."""
+    if isinstance(opt_state, dict):  # fused partitioned state
+        inner = opt_state[group]
+        if not hasattr(inner, "hyperparams"):  # frozen groups have no LR
+            return opt_state
+        hp = dict(inner.hyperparams)
+        hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        new = dict(opt_state)
+        new[group] = inner._replace(hyperparams=hp)
+        return new
     wrap = opt_state.inner_states[group]
     inner = wrap.inner_state
     if not hasattr(inner, "hyperparams"):  # frozen groups have no LR
@@ -144,5 +203,7 @@ def set_lr(opt_state, group: str, lr: float):
 
 
 def get_lr(opt_state, group: str) -> float:
+    if isinstance(opt_state, dict):  # fused partitioned state
+        return float(opt_state[group].hyperparams["learning_rate"])
     return float(
         opt_state.inner_states[group].inner_state.hyperparams["learning_rate"])

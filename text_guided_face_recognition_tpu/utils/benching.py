@@ -39,18 +39,27 @@ __all__ = ["chain_steps", "time_chained_steps", "time_chained_forward"]
 def chain_steps(inner: Callable[[Any, jax.Array], Tuple[Any, jnp.ndarray]],
                 donate: bool = True):
     """Compile `inner(state, rng_key) -> (state, scalar)` into
-    `run(state, key, k)` executing k chained iterations in one dispatch."""
+    `run(state, key, k)` executing k chained iterations in one dispatch.
 
-    @functools.partial(jax.jit, static_argnums=(2,),
-                       donate_argnums=(0,) if donate else ())
-    def run(state, key, k: int):
-        def body(carry, _):
-            st, ky = carry
+    k is a DYNAMIC (traced) trip count — one compiled program serves every k,
+    which matters here because each compile of the full train step through the
+    tunnel takes 10-25 minutes. Iterations keep a true data dependence (state
+    threads through the loop), so executions cannot be elided; the final
+    scalar is returned as the thing to block on."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def run(state, key, k):
+        def cond(c):
+            return c[0] < k
+        def body(c):
+            i, st, ky, _ = c
             ky, sub = jax.random.split(ky)
             st, scalar = inner(st, sub)
-            return (st, ky), scalar
-        (st, _), scalars = jax.lax.scan(body, (state, key), None, length=k)
-        return st, scalars
+            return (i + 1, st, ky,
+                    jnp.asarray(scalar, jnp.float32).reshape(()))
+        init = (jnp.int32(0), state, key, jnp.float32(0))
+        _, st, _, last = jax.lax.while_loop(cond, body, init)
+        return st, last
 
     return run
 
@@ -60,22 +69,22 @@ def time_chained_steps(inner, state, key,
                        donate: bool = True, repeats: int = 2) -> float:
     """True per-step milliseconds of `inner` (see module docstring).
 
-    Compiles one scan program per k (persistent-cached), runs each
-    `repeats`+1 times (first run doubles as warmup for that k), keeps the
-    MIN total per k (standard timing practice — noise is one-sided), and
-    returns the marginal per-step cost between the two k values.
+    Compiles ONE dynamic-trip-count program (persistent-cached), warms it,
+    runs each k `repeats` times keeping the MIN total (standard timing
+    practice — noise is one-sided), and returns the marginal per-step cost
+    between the two k values.
     """
     assert len(ks) == 2 and ks[1] > ks[0]
     run = chain_steps(inner, donate=donate)
+    state, last = run(state, key, ks[0])             # compile + warm
+    jax.block_until_ready(last)
     totals = []
     for k in ks:
-        state, scalars = run(state, key, k)          # compile + warm
-        jax.block_until_ready(scalars)
         best = float("inf")
         for _ in range(max(1, repeats)):
             t0 = time.perf_counter()
-            state, scalars = run(state, key, k)
-            jax.block_until_ready(scalars)
+            state, last = run(state, key, k)
+            jax.block_until_ready(last)
             best = min(best, time.perf_counter() - t0)
         totals.append(best)
     return (totals[1] - totals[0]) / (ks[1] - ks[0]) * 1000.0
@@ -100,26 +109,29 @@ def time_chained_forward(fwd: Callable[..., Any], args: Tuple,
         return sum(jnp.sum(x.astype(jnp.float32))
                    for x in jax.tree_util.tree_leaves(tree))
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def run(x0, rest, k: int):
-        def body(carry, _):
-            x, prev = carry
+    @jax.jit
+    def run(x0, rest, k):
+        def cond(c):
+            return c[0] < k
+        def body(c):
+            i, x, _ = c
             out = fwd(x, *rest)
             s = leaf_sum(out)
             x = x + (s * 1e-37).astype(x.dtype)
-            return (x, s), s
-        (_, _), ss = jax.lax.scan(body, (x0, jnp.float32(0)), None, length=k)
-        return ss
+            return (i + 1, x, s)
+        _, _, s = jax.lax.while_loop(cond, body,
+                                     (jnp.int32(0), x0, jnp.float32(0)))
+        return s
 
+    s = run(first, rest, ks[0])                      # compile + warm
+    jax.block_until_ready(s)
     totals = []
     for k in ks:
-        ss = run(first, rest, k)
-        jax.block_until_ready(ss)
         best = float("inf")
         for _ in range(max(1, repeats)):
             t0 = time.perf_counter()
-            ss = run(first, rest, k)
-            jax.block_until_ready(ss)
+            s = run(first, rest, k)
+            jax.block_until_ready(s)
             best = min(best, time.perf_counter() - t0)
         totals.append(best)
     return (totals[1] - totals[0]) / (ks[1] - ks[0]) * 1000.0

@@ -1,0 +1,104 @@
+"""A/B the step-time optimization candidates inside the FULL stage-1 step.
+
+Profiled breakdown (tools/profile_step.py, B=32): the 14.2 ms step is a sea
+of ~1.5 us ops — per-leaf optimizer chains (~2k ops), dropout RNG, casts —
+not MXU-bound GEMMs. Candidates measured here, each as the complete jitted
+train step on the real chip:
+
+  * fused    — fused_optimizer=True (per-group flattened vector updates,
+               engine/optim.make_partitioned_flat_tx)
+  * rbg      — jax_default_prng_impl=rbg (hardware RNG for dropout masks;
+               threefry is ALU-heavy on TPU; no parity constraint — torch
+               dropout masks differ anyway)
+  * fused+rbg
+
+Timing: scan-chained marginal methodology (utils/benching.py).
+
+Usage: python tools/bench_opt_ab.py [--batch 32] [--variants base,fused,...]
+Prints one JSON line per variant.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
+
+VARIANTS = ("base", "fused", "rbg", "fused_rbg")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--variants", default=",".join(VARIANTS))
+    ap.add_argument("--ks", default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args_cli = ap.parse_args()
+
+    import jax
+    if args_cli.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from text_guided_face_recognition_tpu.config import TGFRConfig
+    from text_guided_face_recognition_tpu.engine.stage1 import Stage1Trainer
+    from text_guided_face_recognition_tpu.utils.benching import (
+        time_chained_steps)
+
+    if args_cli.ks:
+        ks = tuple(int(x) for x in args_cli.ks.split(","))
+    else:
+        ks = (2, 6) if args_cli.cpu else (4, 24)
+    B = args_cli.batch
+    rng = np.random.default_rng(0)
+    batch = {
+        "img": jnp.asarray(
+            rng.normal(size=(B, 112, 112, 3)).astype(np.float32)),
+        "caps": jnp.asarray(
+            rng.integers(1000, 30000, (B, 24)).astype(np.int32)),
+        "mask": jnp.ones((B, 24), jnp.int32),
+        "cls_id": jnp.asarray(rng.integers(0, 4500, B).astype(np.int32)),
+    }
+
+    for variant in args_cli.variants.split(","):
+        use_rbg = "rbg" in variant
+        jax.config.update("jax_default_prng_impl",
+                          "rbg" if use_rbg else "threefry2x32")
+        a = TGFRConfig().replace(
+            en_type="BERT", bert_type="bert", synthetic=True, batch_size=B,
+            num_workers=2, max_epoch=1,
+            fused_optimizer=("fused" in variant))
+        tr = Stage1Trainer(a)
+
+        def inner(state, k):
+            state, m = tr._train_step_fn(state, batch,
+                                         tr.backbone.variables, k)
+            return state, m["total_loss"]
+
+        # loss sanity on this variant (value fetch = execution fence);
+        # run on a COPY — _train_step donates its state argument
+        st_copy = jax.tree_util.tree_map(jnp.array, tr.state)
+        st, m = tr._train_step(st_copy, batch, tr.backbone.variables,
+                               jax.random.PRNGKey(7))
+        loss = float(m["total_loss"])
+        ms = time_chained_steps(inner, tr.state, jax.random.PRNGKey(0),
+                                ks=ks)
+        print(json.dumps({
+            "metric": f"stage1_bert_b{B}_{variant}",
+            "value": round(B / ms * 1000.0, 1), "unit": "pairs/s/chip",
+            "ms_per_step": round(ms, 3),
+            "loss_finite": bool(np.isfinite(loss)),
+        }), flush=True)
+    jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+
+if __name__ == "__main__":
+    main()

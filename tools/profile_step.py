@@ -25,14 +25,18 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..")))
 
 
-def parse_xplane(trace_dir: str, device_only: bool = True):
-    """Aggregate XEvent durations by op metadata name across device planes.
+def parse_xplane(trace_dir: str):
+    """Aggregate XEvent durations by op metadata name from the device's
+    'XLA Ops' line — the serialized compute timeline. 'Async XLA Ops'
+    (DMA/prefetch spans that overlap compute) and umbrella events (Steps /
+    XLA Modules) are deliberately excluded: summing them double-counts.
 
     Returns (events_by_name: {name: total_ms}, plane_names: [str]).
-    Only planes whose name contains 'TPU' or 'device' (case-insensitive) are
-    counted unless device_only=False — host planes time Python, not the chip.
     """
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except ImportError:  # proto location moves across TF versions
+        from tensorflow.core.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                       recursive=True)
@@ -46,13 +50,13 @@ def parse_xplane(trace_dir: str, device_only: bool = True):
             space.ParseFromString(f.read())
         for plane in space.planes:
             nm = plane.name
-            is_dev = ("tpu" in nm.lower() or "/device:" in nm.lower()
-                      or "gpu" in nm.lower())
             planes.append(nm)
-            if device_only and not is_dev:
+            if "tpu" not in nm.lower() and "gpu" not in nm.lower():
                 continue
             meta = {k: v.name for k, v in plane.event_metadata.items()}
             for line in plane.lines:
+                if line.name != "XLA Ops":
+                    continue
                 for ev in line.events:
                     name = meta.get(ev.metadata_id, str(ev.metadata_id))
                     agg[name] += ev.duration_ps / 1e9  # ps -> ms
