@@ -82,3 +82,43 @@ def test_fused_frozen_text_group_stays_frozen():
     updates, _ = tx.update(grads, state, params)
     for leaf in jax.tree_util.tree_leaves(updates["text_encoder"]):
         np.testing.assert_array_equal(np.asarray(leaf), 0.0)
+
+
+def test_encoder_clip_lives_in_tx_chain():
+    """The reference clips ONLY text_encoder grads by clip_max_norm
+    (src/train_encoders_bert.py:329-331); the clip now rides the encoder
+    group's optimizer chain. With lr=1 and plain-SGD-like comparison we
+    check the clip scales a large encoder grad and leaves heads alone."""
+    params = _tree()
+    args = TGFRConfig().replace(clip_max_norm=1.0, weight_decay=0.0)
+    for fused in (False, True):
+        tx = optim.make_stage1_bert_tx(args.replace(fused_optimizer=fused))
+        state = tx.init(params)
+        state = optim.set_lr(state, "encoder", 1.0)
+        state = optim.set_lr(state, "head", 1.0)
+        big = jax.tree_util.tree_map(jnp.zeros_like, params)
+        big["text_encoder"] = jax.tree_util.tree_map(
+            lambda p: jnp.full_like(p, 100.0), params["text_encoder"])
+        u1, _ = tx.update(big, state, params)
+        # Adam normalizes magnitudes, so compare against the UNclipped run
+        # via a clip_max_norm large enough to be inactive
+        tx2 = optim.make_stage1_bert_tx(
+            args.replace(fused_optimizer=fused, clip_max_norm=1e9))
+        st2 = tx2.init(params)
+        st2 = optim.set_lr(st2, "encoder", 1.0)
+        u2, _ = tx2.update(big, st2, params)
+        a = np.asarray(u1["text_encoder"]["l0"]["w"])
+        b = np.asarray(u2["text_encoder"]["l0"]["w"])
+        # first-step Adam is scale-invariant; second step differentiates
+        g2 = jax.tree_util.tree_map(
+            lambda p: jnp.full_like(p, 50.0), params["text_encoder"])
+        big2 = dict(big)
+        big2["text_encoder"] = g2
+        _, stA = tx.update(big, tx.init(params), params)
+        stA = optim.set_lr(stA, "encoder", 1.0)
+        uA, _ = tx.update(big2, stA, params)
+        _, stB = tx2.update(big, tx2.init(params), params)
+        stB = optim.set_lr(stB, "encoder", 1.0)
+        uB, _ = tx2.update(big2, stB, params)
+        assert not np.allclose(np.asarray(uA["text_encoder"]["l0"]["w"]),
+                               np.asarray(uB["text_encoder"]["l0"]["w"]))

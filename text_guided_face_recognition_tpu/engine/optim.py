@@ -26,12 +26,27 @@ __all__ = ["make_stage1_bert_tx", "make_stage1_lstm_tx", "make_stage2_tx",
            "label_params"]
 
 
+def _clip_global_norm(max_norm: float) -> optax.GradientTransformation:
+    """torch.nn.utils.clip_grad_norm_ semantics: scale = min(1, c/max(g,eps)).
+    Under optax.flatten this is ONE norm + one multiply on the flat vector
+    (vs ~2 ops per leaf when applied tree-wise in the train step)."""
+    def update(updates, state, params=None):
+        import jax
+        gnorm = optax.global_norm(updates)
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(gnorm, 1e-6))
+        return jax.tree_util.tree_map(lambda x: x * scale, updates), state
+    return optax.GradientTransformation(lambda _: optax.EmptyState(), update)
+
+
 def _torch_adam(b1: float, b2: float, weight_decay: float = 0.0,
-                eps: float = 1e-8):
-    """torch.optim.Adam equivalent with injectable lr."""
+                eps: float = 1e-8, clip_norm: float = 0.0):
+    """torch.optim.Adam equivalent with injectable lr. clip_norm > 0 prepends
+    the reference's text-encoder grad clip (clip -> wd-add -> adam, matching
+    torch clip-before-step order)."""
     @optax.inject_hyperparams
     def make(learning_rate):
-        steps = [optax.add_decayed_weights(weight_decay)] if weight_decay else []
+        steps = [_clip_global_norm(clip_norm)] if clip_norm else []
+        steps += [optax.add_decayed_weights(weight_decay)] if weight_decay else []
         steps += [optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
                   optax.scale(-1.0)]
         return optax.chain(*steps, optax.scale(learning_rate))
@@ -131,7 +146,8 @@ def make_stage1_bert_tx(args) -> optax.GradientTransformation:
     return _grouped_tx(args, {
         "head": _torch_adam(0.5, 0.999),
         "encoder": _encoder_tx(args, _torch_adam(
-            0.9, 0.999, weight_decay=args.weight_decay)),
+            0.9, 0.999, weight_decay=args.weight_decay,
+            clip_norm=float(getattr(args, "clip_max_norm", 0.0) or 0.0))),
         "cls": _torch_sgd(momentum=0.9, weight_decay=5e-5),
     }, _stage1_group)
 
@@ -142,7 +158,8 @@ def make_stage1_lstm_tx(args) -> optax.GradientTransformation:
     return _grouped_tx(args, {
         "head": _torch_adam(0.5, 0.999),
         "encoder": _encoder_tx(args, _torch_adam(
-            0.9, 0.5, weight_decay=args.weight_decay)),
+            0.9, 0.5, weight_decay=args.weight_decay,
+            clip_norm=float(getattr(args, "clip_max_norm", 0.0) or 0.0))),
         "cls": _torch_sgd(momentum=0.9, weight_decay=5e-5),
     }, _stage1_group)
 

@@ -167,23 +167,15 @@ class Stage1Trainer:
     def _build_train_step(self):
         loss_fn = self.build_loss_fn()
         args = self.args
-        train_text = not args.compat_frozen_text
 
         def train_step(state: TrainState, batch, frozen_vars, rng,
                        metric_acc=None):
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (_, (new_img_stats, metrics)), grads = grad_fn(
                 state.params, state.batch_stats, batch, frozen_vars, rng)
-            if train_text:
-                # clip text-encoder grads by global norm (ref intent,
-                # clip_max_norm; see module docstring)
-                te = grads["text_encoder"]
-                gnorm = optax.global_norm(te)
-                scale = jnp.minimum(1.0, args.clip_max_norm /
-                                    jnp.maximum(gnorm, 1e-6))
-                grads = dict(grads)
-                grads["text_encoder"] = jax.tree_util.tree_map(
-                    lambda x: x * scale, te)
+            # text-encoder grad clip (ref intent, clip_max_norm; module
+            # docstring) lives in the encoder group's optimizer chain
+            # (optim._clip_global_norm) so it fuses with the flat update
             updates, new_opt = self.tx.update(grads, state.opt_state,
                                               state.params)
             new_params = optax.apply_updates(state.params, updates)
