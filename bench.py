@@ -140,7 +140,7 @@ def main():
         return state, metrics["total_loss"]
 
     ks = (2, 6) if force_cpu else (4, 24)
-    ms = time_chained_steps(inner, trainer.state, jax.random.PRNGKey(0),
+    ms = time_chained_steps(inner, trainer.state, trainer._dropout_key,
                             ks=ks)
     pairs_per_sec_per_chip = B / (ms / 1000.0) / jax.device_count()
     print(json.dumps({

@@ -199,7 +199,8 @@ class TGFRConfig:
     keep_last_ckpts: int = 0               # >0: retain only the newest K epoch artifacts
     compute_dtype: str = "bfloat16"        # backbone compute dtype; margin math stays fp32
     use_pallas: bool = False               # fused Pallas DAMSM kernel (see ops/damsm_pallas.py perf note)
-    fused_optimizer: bool = False          # per-group flattened optimizer updates (engine/optim.py)
+    fused_optimizer: bool = False          # per-group flattened optimizer updates (engine/optim.py; measured SLOWER on v5e — keep off)
+    prng_impl: str = "rbg"                 # dropout-mask PRNG ("rbg" | "threefry2x32"); threefry costs ~14% of the stage-1 step
 
     # Anything else found in a YAML lands here and is still attribute-accessible.
     extras: Dict[str, Any] = field(default_factory=dict)

@@ -122,7 +122,12 @@ class Stage1Trainer:
         self.mesh = make_data_mesh(args.num_devices, args.batch_size)
         self._train_step = self._build_train_step()
         self.start_epoch = 1
-        self._dropout_key = jax.random.PRNGKey(args.manual_seed + 1)
+        # dropout-mask PRNG: rbg (hardware RNG) by default — threefry is
+        # ALU-heavy on TPU and cost ~14% of the stage-1 step (A/B in
+        # docs/BENCHMARKS.md); mask values carry no parity constraint.
+        # Param init stays threefry (bit-stable across backends).
+        self._dropout_key = jax.random.key(
+            args.manual_seed + 1, impl=getattr(args, "prng_impl", "rbg"))
 
     # ------------------------------------------------------------- helpers --
 

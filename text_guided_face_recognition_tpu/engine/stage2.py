@@ -85,7 +85,9 @@ class FusionTrainer:
         self.mesh = make_data_mesh(args.num_devices, args.batch_size)
         self._train_step = self._build_train_step()
         self.start_epoch = 1
-        self._dropout_key = jax.random.PRNGKey(args.manual_seed + 2)
+        # rbg dropout PRNG by default — see stage1.py note / docs/BENCHMARKS.md
+        self._dropout_key = jax.random.key(
+            args.manual_seed + 2, impl=getattr(args, "prng_impl", "rbg"))
 
     def _apply_lrs(self):
         opt = self.state.opt_state

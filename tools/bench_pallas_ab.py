@@ -53,7 +53,7 @@ def main():
     else:
         ks = (2, 6) if args_cli.cpu else (4, 24)
     rng = np.random.default_rng(0)
-    key = jax.random.PRNGKey(0)
+    key = jax.random.key(0, impl="rbg")  # match the default dropout PRNG
 
     for B in [int(x) for x in args_cli.batches.split(",")]:
         batch = {

@@ -139,7 +139,7 @@ def main():
             return state, scalar
 
         run = chain_steps(inner, donate=False)
-        key = jax.random.PRNGKey(0)
+        key = tr._dropout_key
         state, scalars = run(tr.state, key, args_cli.k)   # compile + warm
         jax.block_until_ready(scalars)
 
