@@ -59,6 +59,18 @@ def _dense(sd, name):
     return out
 
 
+def _qkv_fused(sd, qname, kname, vname):
+    """torch q/k/v Linear triplet -> the fused qkv Dense of
+    models/text_bert._SelfAttention ([q | k | v] on the output axis)."""
+    ks = [np.transpose(sd[f"{n}.weight"], (1, 0)) for n in (qname, kname,
+                                                            vname)]
+    out = {"kernel": np.concatenate(ks, axis=1)}
+    if f"{qname}.bias" in sd:
+        out["bias"] = np.concatenate(
+            [sd[f"{n}.bias"] for n in (qname, kname, vname)])
+    return out
+
+
 def _dense_from_flattened_conv(sd, name, c, h, w):
     """Permute the input axis of an fc eating a flattened (C,H,W) map into our
     (H,W,C) flatten order."""
@@ -201,9 +213,9 @@ def convert_bert_encoder(sd: Dict[str, np.ndarray],
         t = f"encoder.layer.{i}"
         p[f"layer_{i}"] = {
             "attn": {
-                "query": _dense(sd, f"{t}.attention.self.query"),
-                "key": _dense(sd, f"{t}.attention.self.key"),
-                "value": _dense(sd, f"{t}.attention.self.value"),
+                "qkv": _qkv_fused(sd, f"{t}.attention.self.query",
+                                  f"{t}.attention.self.key",
+                                  f"{t}.attention.self.value"),
                 "out": _dense(sd, f"{t}.attention.output.dense"),
             },
             "attn_ln": {"scale": sd[f"{t}.attention.output.LayerNorm.weight"],
@@ -346,9 +358,9 @@ def convert_clip_text_encoder(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
         t = f"encoder.layers.{i}"
         p[f"layer_{i}"] = {
             "attn": {
-                "query": _dense(sd, f"{t}.self_attn.q_proj"),
-                "key": _dense(sd, f"{t}.self_attn.k_proj"),
-                "value": _dense(sd, f"{t}.self_attn.v_proj"),
+                "qkv": _qkv_fused(sd, f"{t}.self_attn.q_proj",
+                                  f"{t}.self_attn.k_proj",
+                                  f"{t}.self_attn.v_proj"),
                 "out": _dense(sd, f"{t}.self_attn.out_proj"),
             },
             "attn_ln": _ln(sd, f"{t}.layer_norm1"),
@@ -379,9 +391,9 @@ def convert_flava_text_encoder(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
         t = f"encoder.layer.{i}"
         p[f"layer_{i}"] = {
             "attn": {
-                "query": _dense(sd, f"{t}.attention.attention.query"),
-                "key": _dense(sd, f"{t}.attention.attention.key"),
-                "value": _dense(sd, f"{t}.attention.attention.value"),
+                "qkv": _qkv_fused(sd, f"{t}.attention.attention.query",
+                                  f"{t}.attention.attention.key",
+                                  f"{t}.attention.attention.value"),
                 "out": _dense(sd, f"{t}.attention.output.dense"),
             },
             "attn_ln": _ln(sd, f"{t}.layernorm_before"),

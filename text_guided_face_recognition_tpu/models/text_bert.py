@@ -98,12 +98,14 @@ class _SelfAttention(nn.Module):
         a = self.arch
         d_head = a.hidden // a.heads
         b, t, _ = x.shape
-        q = nn.Dense(a.hidden, dtype=self.dtype, name="query")(x)
-        k = nn.Dense(a.hidden, dtype=self.dtype, name="key")(x)
-        v = nn.Dense(a.hidden, dtype=self.dtype, name="value")(x)
-        q = q.reshape(b, t, a.heads, d_head)
-        k = k.reshape(b, t, a.heads, d_head)
-        v = v.reshape(b, t, a.heads, d_head)
+        # fused QKV projection: one (hidden -> 3*hidden) GEMM instead of
+        # three — at the reference's 768 tokens/step each small GEMM runs far
+        # below MXU peak, so merging cuts fixed per-op cost fwd AND bwd.
+        # Weight layout: [q | k | v] concatenated on the output axis
+        # (engine/convert.py packs HF q/k/v weights the same way).
+        qkv = nn.Dense(3 * a.hidden, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, t, 3, a.heads, d_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         score = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                            preferred_element_type=jnp.float32)
         score = score / jnp.sqrt(jnp.float32(d_head))
