@@ -18,11 +18,12 @@ numerical parity is tested in interpret mode and verified compiled on TPU v5e
 custom-VJP op: fused forward, XLA-einsum backward (recomputation — the
 backward was already XLA's job in the jnp path).
 
-PERF NOTE (TPU v5e, B=32, clean A/B on an idle host): inside the full
-stage-1 train step the fused kernel measured ~11% slower than the XLA path
-(r1 A/B; ratio re-verification with the honest scan-chained timing is
-tracked in tools/bench_pallas_ab.py — the r1 absolute numbers were inflated
-by the async-loop tunnel artifact, docs/BENCHMARKS.md "Methodology"). The per-image grid serializes 32 modest
+PERF NOTE (TPU v5e, honest scan-chained A/B inside the full stage-1 train
+step, tools/bench_pallas_ab.py): pallas/xla throughput ratio 0.987 at B=32,
+0.970 at B=128, 0.956 at B=256 — XLA's two giant batched GEMMs (which
+overlap with the rest of the step) win at every batch size, and the
+hypothesized large-batch crossover does not materialize. Kept opt-in
+(`use_pallas`) as a verified-correct fused-kernel reference. The per-image grid serializes 32 modest
 (196x704x256) matmul pipelines, while the XLA path runs two giant batched
 GEMMs that overlap with the rest of the step; the op is a small fraction of
 step time, so the saved HBM traffic doesn't pay for the lost MXU utilization
