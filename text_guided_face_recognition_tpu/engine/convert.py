@@ -59,18 +59,6 @@ def _dense(sd, name):
     return out
 
 
-def _stack_layers(layer_dicts):
-    """Per-layer param dicts -> the nn.scan'd stacked tree
-    (models/text_bert.TransformerEncoder): every leaf gains a leading
-    (num_layers,) axis; tree lives under params["layers"]["block"]."""
-    def stack(trees):
-        first = trees[0]
-        if isinstance(first, dict):
-            return {k: stack([t[k] for t in trees]) for k in first}
-        return np.stack(trees, axis=0)
-    return {"block": stack(layer_dicts)}
-
-
 def _qkv_fused(sd, qname, kname, vname):
     """torch q/k/v Linear triplet -> the fused qkv Dense of
     models/text_bert._SelfAttention ([q | k | v] on the output axis)."""
@@ -221,10 +209,9 @@ def convert_bert_encoder(sd: Dict[str, np.ndarray],
     if "embeddings.token_type_embeddings.weight" in sd:  # absent in BLIP
         p["type_emb"] = {
             "embedding": sd["embeddings.token_type_embeddings.weight"]}
-    layers = []
     for i in range(num_layers):
         t = f"encoder.layer.{i}"
-        layers.append({
+        p[f"layer_{i}"] = {
             "attn": {
                 "qkv": _qkv_fused(sd, f"{t}.attention.self.query",
                                   f"{t}.attention.self.key",
@@ -237,8 +224,7 @@ def convert_bert_encoder(sd: Dict[str, np.ndarray],
             "ffn_out": _dense(sd, f"{t}.output.dense"),
             "ffn_ln": {"scale": sd[f"{t}.output.LayerNorm.weight"],
                        "bias": sd[f"{t}.output.LayerNorm.bias"]},
-        })
-    p["layers"] = _stack_layers(layers)
+        }
     return {"params": p}
 
 
@@ -368,10 +354,9 @@ def convert_clip_text_encoder(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
         "pos_emb": {"embedding": sd["embeddings.position_embedding.weight"]},
         "final_ln": _ln(sd, "final_layer_norm"),
     }
-    layers = []
     for i in range(num_layers):
         t = f"encoder.layers.{i}"
-        layers.append({
+        p[f"layer_{i}"] = {
             "attn": {
                 "qkv": _qkv_fused(sd, f"{t}.self_attn.q_proj",
                                   f"{t}.self_attn.k_proj",
@@ -382,8 +367,7 @@ def convert_clip_text_encoder(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
             "ffn_ln": _ln(sd, f"{t}.layer_norm2"),
             "ffn_in": _dense(sd, f"{t}.mlp.fc1"),
             "ffn_out": _dense(sd, f"{t}.mlp.fc2"),
-        })
-    p["layers"] = _stack_layers(layers)
+        }
     return {"params": p}
 
 
@@ -403,10 +387,9 @@ def convert_flava_text_encoder(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
         "emb_ln": _ln(sd, "embeddings.LayerNorm"),
         "final_ln": _ln(sd, "layernorm"),
     }
-    layers = []
     for i in range(num_layers):
         t = f"encoder.layer.{i}"
-        layers.append({
+        p[f"layer_{i}"] = {
             "attn": {
                 "qkv": _qkv_fused(sd, f"{t}.attention.attention.query",
                                   f"{t}.attention.attention.key",
@@ -417,8 +400,7 @@ def convert_flava_text_encoder(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
             "ffn_ln": _ln(sd, f"{t}.layernorm_after"),
             "ffn_in": _dense(sd, f"{t}.intermediate.dense"),
             "ffn_out": _dense(sd, f"{t}.output.dense"),
-        })
-    p["layers"] = _stack_layers(layers)
+        }
     return {"params": p}
 
 

@@ -166,30 +166,9 @@ class _Block(nn.Module):
         return x
 
 
-class _BlockScanBody(nn.Module):
-    """nn.scan target: carry = hidden states; mask/deterministic broadcast."""
-
-    arch: TextArch
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, mask, deterministic):
-        x = _Block(self.arch, self.dtype, name="block")(x, mask,
-                                                        deterministic)
-        return x, None
-
-
 class TransformerEncoder(nn.Module):
     """Configurable BERT/CLIP-style text transformer; returns last hidden
-    states (B, T, hidden).
-
-    The layer stack is a `nn.scan` over one block (TPU-native transformer
-    shape): every per-layer weight lives as one stacked (layers, ...) tensor,
-    so downstream per-leaf work — optimizer chains, f32->bf16 casts, weight
-    decay, grad clip — runs as a handful of large ops instead of ~12x the op
-    soup (the profiled per-leaf cost was ~2 ms/step at B=32), and the traced
-    program is ~12x smaller (matters: compiles through this TPU tunnel cost
-    10-25 min). Per-layer dropout keys come from scan's rng splitting."""
+    states (B, T, hidden)."""
 
     arch: TextArch
     dtype: Dtype = jnp.float32
@@ -214,12 +193,9 @@ class TransformerEncoder(nn.Module):
             x = nn.Dropout(a.dropout, deterministic=deterministic,
                            name="emb_drop")(x)
         mask = attention_mask.astype(bool)
-        scan = nn.scan(_BlockScanBody,
-                       variable_axes={"params": 0},
-                       split_rngs={"params": True, "dropout": True},
-                       in_axes=(nn.broadcast, nn.broadcast),
-                       length=a.layers)
-        x, _ = scan(a, self.dtype, name="layers")(x, mask, deterministic)
+        for i in range(a.layers):
+            x = _Block(a, self.dtype, name=f"layer_{i}")(x, mask,
+                                                         deterministic)
         if a.final_ln:
             x = nn.LayerNorm(epsilon=a.ln_eps, dtype=self.dtype,
                              name="final_ln")(x)
