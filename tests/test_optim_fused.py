@@ -122,3 +122,17 @@ def test_encoder_clip_lives_in_tx_chain():
         uB, _ = tx2.update(big2, stB, params)
         assert not np.allclose(np.asarray(uA["text_encoder"]["l0"]["w"]),
                                np.asarray(uB["text_encoder"]["l0"]["w"]))
+
+
+def test_prng_impl_config_controls_dropout_keys():
+    """prng_impl selects the dropout-mask PRNG (default rbg — DEVIATIONS
+    #18); param init stays threefry regardless. Checked at the key level
+    (trainer construction is exercised by the engine tests)."""
+    for impl in ("rbg", "threefry2x32"):
+        k = jax.random.key(0, impl=impl)
+        assert impl in str(jax.random.key_impl(k))
+        k1, k2 = jax.random.split(k)
+        assert str(jax.random.key_impl(k1)) == str(jax.random.key_impl(k))
+        assert float(jax.random.uniform(k1, ())) != float(
+            jax.random.uniform(k2, ()))
+    assert TGFRConfig().prng_impl == "rbg"
