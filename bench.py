@@ -7,8 +7,9 @@ cfg/train_bert.yml:41) as one jitted TPU step on synthetic device-resident
 data (pure compute throughput; input pipeline overlaps on real runs).
 
 Measurement methodology (utils/benching.py): the per-step time is the
-MARGINAL cost between two single-dispatch `lax.scan` chains of the train step
-(k=4 vs k=24), which (a) cancels dispatch/readiness overhead exactly and
+MARGINAL cost between two single-dispatch chained loops of the train step
+(one compiled `lax.while_loop` program with a dynamic trip count, run at
+k=4 vs k=24), which (a) cancels dispatch/readiness overhead exactly and
 (b) is immune to the TPU-tunnel artifact where `block_until_ready` over a
 Python loop of async dispatches returns before chained executions retire
 (it under-reported this step ~5x; see docs/BENCHMARKS.md "Methodology").
@@ -45,8 +46,9 @@ def spmd_main():
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_comp"))
+    from text_guided_face_recognition_tpu.utils.cache import (
+        enable_compile_cache)
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -108,9 +110,9 @@ def main():
     import jax
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_comp"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from text_guided_face_recognition_tpu.utils.cache import (
+        enable_compile_cache)
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 

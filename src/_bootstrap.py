@@ -48,10 +48,12 @@ def setup(args_ns):
     import jax
     if getattr(args_ns, "cpu", None):
         jax.config.update("jax_platforms", "cpu")
-    # persistent compile cache: compiles through the TPU tunnel are expensive
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_comp"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # persistent compile cache: compiles through the TPU tunnel are expensive.
+    # Backend/host-scoped dir (utils/cache.py): CPU AOT entries from another
+    # machine must never be loadable here (SIGILL hazard).
+    from text_guided_face_recognition_tpu.utils.cache import (
+        enable_compile_cache)
+    enable_compile_cache()
     random.seed(args.manual_seed)
     import numpy as np
     np.random.seed(args.manual_seed)

@@ -241,3 +241,56 @@ def test_bert_converter_matches_hf_torch():
     # compare valid positions only (masked positions may legitimately differ)
     np.testing.assert_allclose(np.asarray(out)[0], ref[0], atol=2e-4)
     np.testing.assert_allclose(np.asarray(out)[1, :8], ref[1, :8], atol=2e-4)
+
+
+# ------------------------------------------- legacy qkv checkpoint restore ----
+
+def test_legacy_qkv_checkpoint_migrates_on_restore(tmp_path):
+    """Orbax states saved before the r2 QKV fusion hold separate
+    query/key/value Dense leaves; load_checkpoint must concatenate them into
+    the fused 'qkv' leaf ([q|k|v] along the output axis — the unpack order of
+    models/text_bert.py's reshape (B,T,3,heads,d_head))."""
+    from text_guided_face_recognition_tpu.engine.checkpoint import (
+        load_checkpoint, migrate_legacy_qkv, save_checkpoint)
+
+    rng = np.random.default_rng(0)
+    h = 8
+    legacy_attn = {
+        "query": {"kernel": rng.normal(size=(h, h)).astype(np.float32),
+                  "bias": rng.normal(size=(h,)).astype(np.float32)},
+        "key": {"kernel": rng.normal(size=(h, h)).astype(np.float32),
+                "bias": rng.normal(size=(h,)).astype(np.float32)},
+        "value": {"kernel": rng.normal(size=(h, h)).astype(np.float32),
+                  "bias": rng.normal(size=(h,)).astype(np.float32)},
+        "out": {"kernel": rng.normal(size=(h, h)).astype(np.float32)},
+    }
+    legacy = {"model": {"params": {"layer_0": {"attn": legacy_attn}}}}
+    path = str(tmp_path / "legacy_ckpt")
+    save_checkpoint(path, legacy)
+
+    like_attn = {"qkv": {"kernel": jnp.zeros((h, 3 * h)),
+                         "bias": jnp.zeros((3 * h,))},
+                 "out": {"kernel": jnp.zeros((h, h))}}
+    like = {"model": {"params": {"layer_0": {"attn": like_attn}}}}
+    out = load_checkpoint(path, like=like)
+    got = out["model"]["params"]["layer_0"]["attn"]
+    want_k = np.concatenate([legacy_attn["query"]["kernel"],
+                             legacy_attn["key"]["kernel"],
+                             legacy_attn["value"]["kernel"]], axis=-1)
+    want_b = np.concatenate([legacy_attn["query"]["bias"],
+                             legacy_attn["key"]["bias"],
+                             legacy_attn["value"]["bias"]], axis=-1)
+    np.testing.assert_array_equal(np.asarray(got["qkv"]["kernel"]), want_k)
+    np.testing.assert_array_equal(np.asarray(got["qkv"]["bias"]), want_b)
+    np.testing.assert_array_equal(np.asarray(got["out"]["kernel"]),
+                                  legacy_attn["out"]["kernel"])
+
+    # already-fused trees pass through unchanged
+    fused = migrate_legacy_qkv({"attn": dict(like_attn)})
+    assert set(fused["attn"]) == {"qkv", "out"}
+
+    # partial restore path migrates too
+    out2 = load_checkpoint(path, like={"model": like["model"]}, partial=True)
+    np.testing.assert_array_equal(
+        np.asarray(out2["model"]["params"]["layer_0"]["attn"]["qkv"]["kernel"]),
+        want_k)

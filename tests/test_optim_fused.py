@@ -99,6 +99,8 @@ def test_encoder_clip_lives_in_tx_chain():
         big = jax.tree_util.tree_map(jnp.zeros_like, params)
         big["text_encoder"] = jax.tree_util.tree_map(
             lambda p: jnp.full_like(p, 100.0), params["text_encoder"])
+        big["image_head"] = jax.tree_util.tree_map(
+            lambda p: jnp.full_like(p, 3.0), params["image_head"])
         u1, _ = tx.update(big, state, params)
         # Adam normalizes magnitudes, so compare against the UNclipped run
         # via a clip_max_norm large enough to be inactive
@@ -106,10 +108,18 @@ def test_encoder_clip_lives_in_tx_chain():
             args.replace(fused_optimizer=fused, clip_max_norm=1e9))
         st2 = tx2.init(params)
         st2 = optim.set_lr(st2, "encoder", 1.0)
+        st2 = optim.set_lr(st2, "head", 1.0)
         u2, _ = tx2.update(big, st2, params)
+        # the clip must leave non-encoder groups untouched
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_allclose(np.asarray(x),
+                                                    np.asarray(y), rtol=1e-6),
+            u1["image_head"], u2["image_head"])
         a = np.asarray(u1["text_encoder"]["l0"]["w"])
         b = np.asarray(u2["text_encoder"]["l0"]["w"])
-        # first-step Adam is scale-invariant; second step differentiates
+        # first-step Adam is scale-invariant: clipped == unclipped on step 1
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+        # second step differentiates
         g2 = jax.tree_util.tree_map(
             lambda p: jnp.full_like(p, 50.0), params["text_encoder"])
         big2 = dict(big)
@@ -136,3 +146,101 @@ def test_prng_impl_config_controls_dropout_keys():
         assert float(jax.random.uniform(k1, ())) != float(
             jax.random.uniform(k2, ()))
     assert TGFRConfig().prng_impl == "rbg"
+
+
+def test_stacked_matches_multi_transform_stage1():
+    """Shape-bucket stacked updates (r3 remedy) == multi_transform, value for
+    value: stacking same-shape leaves is a no-op for elementwise Adam/SGD, and
+    the encoder global-norm clip is bucket-invariant."""
+    params = _tree()
+    # give the encoder several same-shaped "layers" to actually bucket
+    params["text_encoder"] = {
+        f"l{i}": {"w": jax.random.normal(jax.random.PRNGKey(10 + i), (8, 8)),
+                  "b": jnp.full((8,), 0.1 * i)}
+        for i in range(4)}
+    base = TGFRConfig().replace(weight_decay=0.02, clip_max_norm=1.0)
+    p_ref, _ = _run_steps(optim.make_stage1_bert_tx(base), params)
+    p_stk, st = _run_steps(optim.make_stage1_bert_tx(
+        base.replace(stacked_optimizer=True)), params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+        p_ref, p_stk)
+    # stacked state round-trips LR edits (dict path of set_lr/get_lr)
+    assert abs(optim.get_lr(st, "head") - 0.01 * (1 + hash("head") % 3)) < 1e-9
+
+
+def test_stacked_matches_multi_transform_stage2():
+    params = {
+        "text_encoder": {"l0": {"w": jnp.ones((4, 4)) * 0.3},
+                         "l1": {"w": jnp.ones((4, 4)) * -0.2}},
+        "text_head": {"w": jnp.ones((4, 2)) * 0.2},
+        "image_head": {"w": jnp.ones((2, 2)) * 0.1},
+        "fusion_net": {"w": jnp.ones((2, 2)) * 0.5},
+        "metric_fc": {"weight": jnp.ones((6, 2))},
+    }
+    base = TGFRConfig().replace(weight_decay=0.01)
+    p_ref, _ = _run_steps(optim.make_stage2_tx(base), params)
+    p_stk, _ = _run_steps(optim.make_stage2_tx(
+        base.replace(stacked_optimizer=True)), params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+        p_ref, p_stk)
+
+
+def test_stacked_frozen_text_group_stays_frozen():
+    params = _tree()
+    args = TGFRConfig().replace(compat_frozen_text=True,
+                                stacked_optimizer=True)
+    tx = optim.make_stage1_bert_tx(args)
+    state = tx.init(params)
+    state = optim.set_lr(state, "encoder", 99.0)  # must no-op, not crash
+    grads = jax.tree_util.tree_map(lambda p: jnp.ones_like(p), params)
+    updates, _ = tx.update(grads, state, params)
+    for leaf in jax.tree_util.tree_leaves(updates["text_encoder"]):
+        np.testing.assert_array_equal(np.asarray(leaf), 0.0)
+
+
+def test_bf16_moments_close_to_fp32_and_state_dtype():
+    """bf16 moment storage: trajectories stay close to fp32 Adam over a few
+    steps (rounding-level drift only) and the stored moments really are
+    bf16 (the point: half the optimizer-state bytes)."""
+    params = _tree()
+    base = TGFRConfig().replace(weight_decay=0.02)
+    p32, _ = _run_steps(optim.make_stage1_bert_tx(base), params, n=5)
+    p16, st = _run_steps(optim.make_stage1_bert_tx(
+        base.replace(adam_moments_dtype="bfloat16")), params, n=5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-3),
+        p32, p16)
+    # walk the state for ScaleByAdamState moments and check their dtype
+    found = []
+    def visit(node):
+        if hasattr(node, "mu") and hasattr(node, "nu"):
+            for leaf in jax.tree_util.tree_leaves((node.mu, node.nu)):
+                found.append(leaf.dtype)
+        elif isinstance(node, (list, tuple)):
+            for x in node:
+                visit(x)
+        elif isinstance(node, dict):
+            for x in node.values():
+                visit(x)
+        elif hasattr(node, "_fields"):
+            for f in node._fields:
+                visit(getattr(node, f))
+        elif hasattr(node, "inner_states"):
+            visit(node.inner_states)
+    visit(st)
+    assert found and all(d == jnp.bfloat16 for d in found)
+
+
+def test_stacked_plus_bf16_moments_compose():
+    params = _tree()
+    base = TGFRConfig().replace(weight_decay=0.02)
+    p_ref, _ = _run_steps(optim.make_stage1_bert_tx(
+        base.replace(adam_moments_dtype="bfloat16")), params, n=3)
+    p_stk, _ = _run_steps(optim.make_stage1_bert_tx(
+        base.replace(adam_moments_dtype="bfloat16", stacked_optimizer=True)),
+        params, n=3)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        p_ref, p_stk)

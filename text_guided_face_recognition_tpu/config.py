@@ -200,6 +200,8 @@ class TGFRConfig:
     compute_dtype: str = "bfloat16"        # backbone compute dtype; margin math stays fp32
     use_pallas: bool = False               # fused Pallas DAMSM kernel (see ops/damsm_pallas.py perf note)
     fused_optimizer: bool = False          # per-group flattened optimizer updates (engine/optim.py; measured SLOWER on v5e — keep off)
+    stacked_optimizer: bool = False        # same-(shape,dtype) leaf-bucket stacked optimizer updates (engine/optim.py r3)
+    adam_moments_dtype: str = "float32"    # Adam moment storage dtype ("float32" | "bfloat16"); bf16 halves optimizer-state HBM traffic
     prng_impl: str = "rbg"                 # dropout-mask PRNG ("rbg" | "threefry2x32"); threefry costs ~14% of the stage-1 step
 
     # Anything else found in a YAML lands here and is still attribute-accessible.

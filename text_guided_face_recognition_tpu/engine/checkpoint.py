@@ -38,10 +38,48 @@ def checkpoint_exists(path: str) -> bool:
     return os.path.isdir(path) and bool(os.listdir(path))
 
 
+def migrate_legacy_qkv(tree: Any) -> Any:
+    """Concatenate legacy per-projection attention params into the fused
+    layout: checkpoints saved before the QKV fusion (r2, models/text_bert.py
+    'qkv' Dense) hold separate query/key/value Dense leaves; the fused kernel
+    is their concatenation along the output axis ([q | k | v], matching the
+    reshape (B, T, 3, heads, d_head) unpack order)."""
+    import jax.numpy as jnp
+
+    if not isinstance(tree, dict):
+        return tree
+    tree = {k: migrate_legacy_qkv(v) for k, v in tree.items()}
+    if ({"query", "key", "value"} <= tree.keys() and "qkv" not in tree
+            and isinstance(tree["query"], dict)
+            and "kernel" in tree["query"]):
+        q, k, v = tree["query"], tree["key"], tree["value"]
+        fused: Dict[str, Any] = {"kernel": jnp.concatenate(
+            [jnp.asarray(q["kernel"]), jnp.asarray(k["kernel"]),
+             jnp.asarray(v["kernel"])], axis=-1)}
+        if "bias" in q:
+            fused["bias"] = jnp.concatenate(
+                [jnp.asarray(q["bias"]), jnp.asarray(k["bias"]),
+                 jnp.asarray(v["bias"])], axis=-1)
+        tree = {kk: vv for kk, vv in tree.items()
+                if kk not in ("query", "key", "value")}
+        tree["qkv"] = fused
+    return tree
+
+
+def _cast_like(like: Any, full: Any) -> Any:
+    """Map restored leaves onto `like`'s dtypes; raises on any remaining
+    structure mismatch (the caller's error surface)."""
+    import jax
+    import jax.numpy as jnp
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.asarray(b, a.dtype), like, full)
+
+
 def load_checkpoint(path: str, like: Optional[Dict[str, Any]] = None,
                     partial: bool = False) -> Dict[str, Any]:
     """Restore a pytree; when `like` is given, restores with matching
-    structure/dtypes (needed for sharded/typed restore).
+    structure/dtypes (needed for sharded/typed restore). Checkpoints written
+    before the QKV fusion are migrated transparently (migrate_legacy_qkv).
 
     partial=True restores only the keys present in `like` — needed because
     the stage artifacts keep the reference's bundled layouts (e.g. the fusion
@@ -53,17 +91,19 @@ def load_checkpoint(path: str, like: Optional[Dict[str, Any]] = None,
     if like is None:
         return ckptr.restore(path)
     if partial:
-        import jax
-        import jax.numpy as jnp
         full = ckptr.restore(path)
         missing = [k for k in like if k not in full]
         if missing:
             raise KeyError(f"checkpoint {path} lacks keys {missing}; "
                            f"has {list(full)}")
-        return {k: jax.tree_util.tree_map(
-                    lambda a, b: jnp.asarray(b, a.dtype), like[k], full[k])
+        return {k: _cast_like(like[k], migrate_legacy_qkv(full[k]))
                 for k in like}
-    return ckptr.restore(path, target=like)
+    try:
+        return ckptr.restore(path, target=like)
+    except Exception:
+        # legacy layout (pre-qkv-fusion): raw-restore, migrate, re-fit
+        full = ckptr.restore(path)
+        return _cast_like(like, migrate_legacy_qkv(full))
 
 
 def prune_checkpoints(save_dir: str, keep_last: int) -> None:

@@ -106,6 +106,12 @@ def _raw_pair_scores(bb_mod, model_type, frozen_vars, img1, img2):
     return cosine_pairs(g1, g2)
 
 
+@functools.partial(jax.jit, static_argnames=("bb_mod", "model_type"))
+def _global_feats(bb_mod, model_type, frozen_vars, img):
+    g, _ = _backbone_feats(model_type, bb_mod, frozen_vars, img)
+    return g
+
+
 def _score_loop(args, dl, fwd) -> Dict[str, list]:
     preds, labels = [], []
     xk = ("mask1", "mask2") if args.en_type == "BERT" else \
@@ -174,12 +180,6 @@ def get_img_features_dict(args, backbone) -> Dict[str, np.ndarray]:
     names = sorted({p.split(" ")[0] for p in pairs} |
                    {p.split(" ")[1].strip() for p in pairs})
 
-    @jax.jit
-    def fwd(img):
-        g, _ = _backbone_feats(args.model_type, backbone.module,
-                               backbone.variables, img)
-        return g
-
     feats: Dict[str, np.ndarray] = {}
     bs = max(int(args.batch_size), 1)
     for i in range(0, len(names), bs):
@@ -192,7 +192,8 @@ def get_img_features_dict(args, backbone) -> Dict[str, np.ndarray]:
         pad = bs - len(chunk)
         if pad:
             imgs = np.concatenate([imgs, np.zeros_like(imgs[:pad])])
-        out = np.asarray(fwd(jnp.asarray(imgs)))
+        out = np.asarray(_global_feats(backbone.module, args.model_type,
+                                       backbone.variables, jnp.asarray(imgs)))
         for n, f in zip(chunk, out):
             feats[n] = f
     return feats

@@ -38,17 +38,63 @@ def _clip_global_norm(max_norm: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(lambda _: optax.EmptyState(), update)
 
 
+def _scale_by_adam_cast(b1: float, b2: float, eps: float,
+                        moment_dtype) -> optax.GradientTransformation:
+    """optax.scale_by_adam with BOTH moments stored in `moment_dtype`
+    (compute still fp32). With bfloat16 this halves the optimizer-state HBM
+    traffic — the profiled stage-1 step moves ~1.8 GB/step of fp32 moment
+    reads+writes over ~110M params, and the Adam update is bandwidth-bound.
+    Value impact: bf16 moment rounding (~3 sig. digits) on a normalized
+    update; the learning-trajectory A/B is in docs/BENCHMARKS.md."""
+    import jax
+
+    md = jnp.dtype(moment_dtype)
+
+    def init(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=md)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params))
+
+    def update(updates, state, params=None):
+        del params
+        count = state.count + 1
+        c1 = 1.0 - jnp.asarray(b1, jnp.float32) ** count
+        c2 = 1.0 - jnp.asarray(b2, jnp.float32) ** count
+
+        def one(g, m, v):
+            g32 = g.astype(jnp.float32)
+            m32 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g32
+            v32 = b2 * v.astype(jnp.float32) + (1.0 - b2) * g32 * g32
+            out = (m32 / c1) / (jnp.sqrt(v32 / c2) + eps)
+            return out.astype(g.dtype), m32.astype(md), v32.astype(md)
+
+        trip = jax.tree_util.tree_map(one, updates, state.mu, state.nu)
+        outer = jax.tree_util.tree_structure(updates)
+        out, mu, nu = (jax.tree_util.tree_transpose(
+            outer, jax.tree_util.tree_structure((0, 0, 0)), trip))
+        return out, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def _torch_adam(b1: float, b2: float, weight_decay: float = 0.0,
-                eps: float = 1e-8, clip_norm: float = 0.0):
+                eps: float = 1e-8, clip_norm: float = 0.0,
+                moment_dtype: str = "float32"):
     """torch.optim.Adam equivalent with injectable lr. clip_norm > 0 prepends
     the reference's text-encoder grad clip (clip -> wd-add -> adam, matching
-    torch clip-before-step order)."""
+    torch clip-before-step order). moment_dtype != float32 stores the Adam
+    moments reduced-precision (_scale_by_adam_cast)."""
     @optax.inject_hyperparams
     def make(learning_rate):
         steps = [_clip_global_norm(clip_norm)] if clip_norm else []
         steps += [optax.add_decayed_weights(weight_decay)] if weight_decay else []
-        steps += [optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
-                  optax.scale(-1.0)]
+        if jnp.dtype(moment_dtype) == jnp.float32:
+            adam = optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
+        else:
+            adam = _scale_by_adam_cast(b1, b2, eps, moment_dtype)
+        steps += [adam, optax.scale(-1.0)]
         return optax.chain(*steps, optax.scale(learning_rate))
     tx = make(learning_rate=0.0)  # set per-epoch via hyperparams
     return tx
@@ -118,8 +164,13 @@ def make_partitioned_flat_tx(group_txs: Dict[str, optax.GradientTransformation],
         for g in groups:
             sub = u_parts.get(g)
             if not sub:
-                new_state[g] = state[g]
-                continue
+                # optax.multi_transform always steps every group (Adam step
+                # counts advance even on zero grads); silently freezing a
+                # group here would be a latent divergence — fail loudly.
+                raise ValueError(
+                    f"gradient tree is missing optimizer group {g!r}: "
+                    f"updates must cover every top-level param key "
+                    f"(got groups {sorted(u_parts)})")
             u, s = flat_txs[g].update(sub, state[g], p_parts.get(g))
             new_state[g] = s
             merged.update(u)
@@ -128,11 +179,106 @@ def make_partitioned_flat_tx(group_txs: Dict[str, optax.GradientTransformation],
     return optax.GradientTransformation(init, update)
 
 
+def _bucket_key(x) -> str:
+    return f"{jnp.result_type(x).name}{tuple(x.shape)}"
+
+
+def _bucket_leaves(tree):
+    """Deterministic same-(shape,dtype) bucketing of a tree's leaves.
+    Returns (treedef, leaves, buckets) with buckets = ordered
+    {name: [leaf indices]} — recomputable from any same-structured tree, so
+    it never lives in optimizer state."""
+    import jax
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    buckets: Dict[str, list] = {}
+    for i, x in enumerate(leaves):
+        buckets.setdefault(_bucket_key(x), []).append(i)
+    return treedef, leaves, dict(sorted(buckets.items()))
+
+
+def _stack_tree(tree) -> Dict[str, Any]:
+    """{bucket_name: stacked array (or the lone leaf for singletons)}."""
+    _, leaves, buckets = _bucket_leaves(tree)
+    out = {}
+    for name, idxs in buckets.items():
+        out[name] = (leaves[idxs[0]] if len(idxs) == 1
+                     else jnp.stack([leaves[i] for i in idxs]))
+    return out
+
+
+def _unstack_tree(stacked: Dict[str, Any], like) -> Any:
+    import jax
+    treedef, leaves, buckets = _bucket_leaves(like)
+    out = [None] * len(leaves)
+    for name, idxs in buckets.items():
+        if len(idxs) == 1:
+            out[idxs[0]] = stacked[name]
+        else:
+            arr = stacked[name]
+            for j, i in enumerate(idxs):
+                out[i] = arr[j]
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def make_stacked_group_tx(group_txs: Dict[str, optax.GradientTransformation],
+                          group_of: Callable[[str], str]
+                          ) -> optax.GradientTransformation:
+    """Same-shape leaf-group STACKED optimizer (the r3 step-time remedy).
+
+    Within each optimizer group, leaves of identical (shape, dtype) — e.g.
+    the 12 transformer layers' qkv kernels, biases, layernorm scales — are
+    jnp.stack'ed into one array and the group's Adam/SGD chain runs once per
+    shape-bucket instead of once per leaf. Elementwise updates are
+    value-identical under stacking (and the encoder chain's global-norm clip
+    is bucket-invariant: ||stack(xs)|| == ||concat(xs)||).
+
+    Contrast with the two measured rejects (docs/BENCHMARKS.md): this is NOT
+    optax.flatten (no ravel/relayout of mixed shapes into one vector — that
+    lost 2x to relayout copies) and NOT nn.scan (the forward/backward stay
+    unrolled; only the optimizer update is stacked). Motivation (r3 profile):
+    the per-leaf update soup emits ~50 tiny fp32 buffers whose VMEM<->HBM
+    copy stalls cost ~3.7 ms/step at B=32.
+
+    State: {group: inner_state} over the stacked representation
+    (orbax-serializable; set_lr/get_lr handle it via the dict path).
+    """
+    groups = sorted(group_txs)
+
+    def init(params):
+        parts = _partition(params, group_of)
+        return {g: group_txs[g].init(_stack_tree(parts.get(g, {})))
+                for g in groups}
+
+    def update(updates, state, params=None):
+        import jax
+        u_parts = _partition(updates, group_of)
+        p_parts = _partition(params, group_of) if params is not None else {}
+        merged: Dict[str, Any] = {}
+        new_state = {}
+        for g in groups:
+            sub = u_parts.get(g)
+            if not sub:
+                raise ValueError(
+                    f"gradient tree is missing optimizer group {g!r}: "
+                    f"updates must cover every top-level param key "
+                    f"(got groups {sorted(u_parts)})")
+            sp = _stack_tree(p_parts[g]) if g in p_parts else None
+            u, s = group_txs[g].update(_stack_tree(sub), state[g], sp)
+            new_state[g] = s
+            merged.update(_unstack_tree(u, sub))
+        return merged, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def _grouped_tx(args, group_txs: Dict[str, optax.GradientTransformation],
                 group_of: Callable[[str], str]) -> optax.GradientTransformation:
-    """Dispatch on args.fused_optimizer: flattened per-group vector updates
-    (fast path) vs optax.multi_transform over the labeled tree (reference
-    shape; value-identical updates — tests/test_optim_fused.py)."""
+    """Dispatch on args.{stacked,fused}_optimizer: shape-bucket stacked
+    updates / flattened per-group vector updates / optax.multi_transform over
+    the labeled tree (reference shape; all value-identical —
+    tests/test_optim_fused.py)."""
+    if getattr(args, "stacked_optimizer", False):
+        return make_stacked_group_tx(group_txs, group_of)
     if getattr(args, "fused_optimizer", False):
         return make_partitioned_flat_tx(group_txs, group_of)
     return optax.multi_transform(
@@ -140,14 +286,20 @@ def _grouped_tx(args, group_txs: Dict[str, optax.GradientTransformation],
         param_labels=lambda params: label_params(params, group_of))
 
 
+def _moments_dtype(args) -> str:
+    return str(getattr(args, "adam_moments_dtype", "float32") or "float32")
+
+
 def make_stage1_bert_tx(args) -> optax.GradientTransformation:
     """heads-Adam(0.5, 0.999) / encoder-Adam(0.9, 0.999, wd) / cls-SGD(0.1,
     m=0.9, wd=5e-5) — reference: src/train_encoders_bert.py:212-222."""
+    md = _moments_dtype(args)
     return _grouped_tx(args, {
-        "head": _torch_adam(0.5, 0.999),
+        "head": _torch_adam(0.5, 0.999, moment_dtype=md),
         "encoder": _encoder_tx(args, _torch_adam(
             0.9, 0.999, weight_decay=args.weight_decay,
-            clip_norm=float(getattr(args, "clip_max_norm", 0.0) or 0.0))),
+            clip_norm=float(getattr(args, "clip_max_norm", 0.0) or 0.0),
+            moment_dtype=md)),
         "cls": _torch_sgd(momentum=0.9, weight_decay=5e-5),
     }, _stage1_group)
 
@@ -155,11 +307,13 @@ def make_stage1_bert_tx(args) -> optax.GradientTransformation:
 def make_stage1_lstm_tx(args) -> optax.GradientTransformation:
     """reference: src/train_encoders_lstm.py:180-189 (encoder Adam betas
     (0.9, 0.5) with weight decay, head Adam (0.5, 0.999), cls SGD)."""
+    md = _moments_dtype(args)
     return _grouped_tx(args, {
-        "head": _torch_adam(0.5, 0.999),
+        "head": _torch_adam(0.5, 0.999, moment_dtype=md),
         "encoder": _encoder_tx(args, _torch_adam(
             0.9, 0.5, weight_decay=args.weight_decay,
-            clip_norm=float(getattr(args, "clip_max_norm", 0.0) or 0.0))),
+            clip_norm=float(getattr(args, "clip_max_norm", 0.0) or 0.0),
+            moment_dtype=md)),
         "cls": _torch_sgd(momentum=0.9, weight_decay=5e-5),
     }, _stage1_group)
 
@@ -167,11 +321,12 @@ def make_stage1_lstm_tx(args) -> optax.GradientTransformation:
 def make_stage2_tx(args) -> optax.GradientTransformation:
     """cls plain-SGD(lr_image_train, wd) / encoder Adam(1e-5, wd .01) /
     head Adam(lr_head, wd 5e-5) — reference: src/fusion_bert.py:118-141."""
+    md = _moments_dtype(args)
     return _grouped_tx(args, {
         "cls": _torch_sgd(momentum=0.0, weight_decay=args.weight_decay),
-        "encoder": _encoder_tx(args, _torch_adam(0.9, 0.999,
-                                                  weight_decay=0.01)),
-        "head": _torch_adam(0.9, 0.999, weight_decay=5e-5),
+        "encoder": _encoder_tx(args, _torch_adam(
+            0.9, 0.999, weight_decay=0.01, moment_dtype=md)),
+        "head": _torch_adam(0.9, 0.999, weight_decay=5e-5, moment_dtype=md),
     }, _stage2_group)
 
 

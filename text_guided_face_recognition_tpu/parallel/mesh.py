@@ -77,8 +77,18 @@ def shard_batch(batch: dict, mesh: Optional[Mesh], axis: str = "data") -> dict:
         return jax.device_put(batch)
     sh = batch_sharding(mesh, axis)
     if jax.process_count() > 1:
-        return {k: jax.make_array_from_process_local_data(sh, np.asarray(v))
-                for k, v in batch.items()}
+        # Explicit global_shape: with global_shape=None,
+        # make_array_from_process_local_data would silently INFER a
+        # process_count-times-larger global batch from a caller that passes a
+        # full (non-process-sharded) batch — e.g. a validation loader routed
+        # here by mistake on a pod — duplicating data instead of erroring.
+        def _assemble(v):
+            local = np.asarray(v)
+            global_shape = (local.shape[0] * jax.process_count(),
+                            *local.shape[1:])
+            return jax.make_array_from_process_local_data(sh, local,
+                                                          global_shape)
+        return {k: _assemble(v) for k, v in batch.items()}
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 

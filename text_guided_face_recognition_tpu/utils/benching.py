@@ -1,4 +1,10 @@
-"""Trustworthy on-device step timing (single-dispatch scan chains).
+"""Trustworthy on-device step timing (single-dispatch chained loops).
+
+Implementation note: the chain is a `jax.lax.while_loop` with a DYNAMIC trip
+count (not a fixed-length `lax.scan`) so ONE compiled program serves every k
+— each fresh compile of the full train step through the tunnel costs 5-25
+minutes. The timing properties are identical to a scan chain: iterations
+carry a true data dependence and execute sequentially on device.
 
 Why this exists — measured on this project's TPU tunnel (axon), and the
 reason every benchmark in this repo uses it:
@@ -8,13 +14,14 @@ reason every benchmark in this repo uses it:
     through the tunnel can return before the chained executions have actually
     retired (verified: a 50-step loop "measured" 2.65 ms/step for a program
     whose FLOP count alone needs >3 ms at hardware peak; the same program
-    scan-chained measures 14.2 ms/step, which matches an independent
+    chain-measured at 14.2 ms/step, which matches an independent
     per-component decomposition).
   * A synchronous loop (fetch per step) measures RPC pacing (~15 ms/dispatch),
     not compute.
 
 The reliable pattern: compile ONE program that runs the step k times in a
-`lax.scan` (true data dependence between iterations), block on its outputs,
+chained device loop (true data dependence between iterations), block on its
+outputs,
 and take the MARGINAL cost between two k values — this cancels the fixed
 dispatch/readiness overhead (~45 ms here) exactly:
 

@@ -37,8 +37,9 @@ def main():
     import jax
     if args_cli.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_comp"))
+    from text_guided_face_recognition_tpu.utils.cache import (
+        enable_compile_cache)
+    enable_compile_cache()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np

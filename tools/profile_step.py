@@ -102,9 +102,9 @@ def main():
     if args_cli.trace_dir is None:
         if args_cli.cpu:
             jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/jax_comp"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        from text_guided_face_recognition_tpu.utils.cache import (
+            enable_compile_cache)
+        enable_compile_cache()
         import jax.numpy as jnp
         import numpy as np
 
