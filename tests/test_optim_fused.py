@@ -244,3 +244,26 @@ def test_stacked_plus_bf16_moments_compose():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
         p_ref, p_stk)
+
+
+def test_stacked_small_leaf_threshold_matches():
+    """stack_max_elems: only small leaves bucket together; values still
+    identical to the reference-shaped multi_transform."""
+    params = _tree()
+    params["text_encoder"] = {
+        f"l{i}": {"w": jax.random.normal(jax.random.PRNGKey(20 + i), (8, 8)),
+                  "b": jnp.full((8,), 0.05 * i)}
+        for i in range(4)}
+    base = TGFRConfig().replace(weight_decay=0.02)
+    p_ref, _ = _run_steps(optim.make_stage1_bert_tx(base), params)
+    p_stk, _ = _run_steps(optim.make_stage1_bert_tx(
+        base.replace(stacked_optimizer=True, stack_max_elems=16)), params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+        p_ref, p_stk)
+    # the bucketing itself: 8-elem biases stack, 64-elem kernels do not
+    from text_guided_face_recognition_tpu.engine.optim import _stack_tree
+    st = _stack_tree(params["text_encoder"], max_elems=16)
+    sizes = sorted(v.shape for v in st.values())
+    assert (4, 8) in [tuple(s) for s in sizes]          # stacked biases
+    assert all(tuple(s) != (4, 8, 8) for s in sizes)    # kernels unstacked

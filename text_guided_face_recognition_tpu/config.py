@@ -201,6 +201,7 @@ class TGFRConfig:
     use_pallas: bool = False               # fused Pallas DAMSM kernel (see ops/damsm_pallas.py perf note)
     fused_optimizer: bool = False          # per-group flattened optimizer updates (engine/optim.py; measured SLOWER on v5e — keep off)
     stacked_optimizer: bool = False        # same-(shape,dtype) leaf-bucket stacked optimizer updates (engine/optim.py r3)
+    stack_max_elems: int = 0               # stacked_optimizer: only stack leaves <= this many elements (0 = all); big GEMM kernels stay per-leaf
     adam_moments_dtype: str = "float32"    # Adam moment storage dtype ("float32" | "bfloat16"); bf16 halves optimizer-state HBM traffic
     prng_impl: str = "rbg"                 # dropout-mask PRNG ("rbg" | "threefry2x32"); threefry costs ~14% of the stage-1 step
 

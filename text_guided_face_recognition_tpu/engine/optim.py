@@ -179,26 +179,29 @@ def make_partitioned_flat_tx(group_txs: Dict[str, optax.GradientTransformation],
     return optax.GradientTransformation(init, update)
 
 
-def _bucket_key(x) -> str:
+def _bucket_key(x, i: int, max_elems: int) -> str:
+    if max_elems and x.size > max_elems:
+        return f"leaf{i}"  # too big to stack: its own singleton bucket
     return f"{jnp.result_type(x).name}{tuple(x.shape)}"
 
 
-def _bucket_leaves(tree):
+def _bucket_leaves(tree, max_elems: int = 0):
     """Deterministic same-(shape,dtype) bucketing of a tree's leaves.
     Returns (treedef, leaves, buckets) with buckets = ordered
     {name: [leaf indices]} — recomputable from any same-structured tree, so
-    it never lives in optimizer state."""
+    it never lives in optimizer state. max_elems > 0 exempts leaves larger
+    than that from stacking (each keeps a singleton bucket)."""
     import jax
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     buckets: Dict[str, list] = {}
     for i, x in enumerate(leaves):
-        buckets.setdefault(_bucket_key(x), []).append(i)
+        buckets.setdefault(_bucket_key(x, i, max_elems), []).append(i)
     return treedef, leaves, dict(sorted(buckets.items()))
 
 
-def _stack_tree(tree) -> Dict[str, Any]:
+def _stack_tree(tree, max_elems: int = 0) -> Dict[str, Any]:
     """{bucket_name: stacked array (or the lone leaf for singletons)}."""
-    _, leaves, buckets = _bucket_leaves(tree)
+    _, leaves, buckets = _bucket_leaves(tree, max_elems)
     out = {}
     for name, idxs in buckets.items():
         out[name] = (leaves[idxs[0]] if len(idxs) == 1
@@ -206,9 +209,9 @@ def _stack_tree(tree) -> Dict[str, Any]:
     return out
 
 
-def _unstack_tree(stacked: Dict[str, Any], like) -> Any:
+def _unstack_tree(stacked: Dict[str, Any], like, max_elems: int = 0) -> Any:
     import jax
-    treedef, leaves, buckets = _bucket_leaves(like)
+    treedef, leaves, buckets = _bucket_leaves(like, max_elems)
     out = [None] * len(leaves)
     for name, idxs in buckets.items():
         if len(idxs) == 1:
@@ -221,7 +224,8 @@ def _unstack_tree(stacked: Dict[str, Any], like) -> Any:
 
 
 def make_stacked_group_tx(group_txs: Dict[str, optax.GradientTransformation],
-                          group_of: Callable[[str], str]
+                          group_of: Callable[[str], str],
+                          max_elems: int = 0
                           ) -> optax.GradientTransformation:
     """Same-shape leaf-group STACKED optimizer (the r3 step-time remedy).
 
@@ -246,7 +250,8 @@ def make_stacked_group_tx(group_txs: Dict[str, optax.GradientTransformation],
 
     def init(params):
         parts = _partition(params, group_of)
-        return {g: group_txs[g].init(_stack_tree(parts.get(g, {})))
+        return {g: group_txs[g].init(
+                    _stack_tree(parts.get(g, {}), max_elems))
                 for g in groups}
 
     def update(updates, state, params=None):
@@ -262,10 +267,12 @@ def make_stacked_group_tx(group_txs: Dict[str, optax.GradientTransformation],
                     f"gradient tree is missing optimizer group {g!r}: "
                     f"updates must cover every top-level param key "
                     f"(got groups {sorted(u_parts)})")
-            sp = _stack_tree(p_parts[g]) if g in p_parts else None
-            u, s = group_txs[g].update(_stack_tree(sub), state[g], sp)
+            sp = (_stack_tree(p_parts[g], max_elems)
+                  if g in p_parts else None)
+            u, s = group_txs[g].update(_stack_tree(sub, max_elems),
+                                       state[g], sp)
             new_state[g] = s
-            merged.update(_unstack_tree(u, sub))
+            merged.update(_unstack_tree(u, sub, max_elems))
         return merged, new_state
 
     return optax.GradientTransformation(init, update)
@@ -278,7 +285,9 @@ def _grouped_tx(args, group_txs: Dict[str, optax.GradientTransformation],
     the labeled tree (reference shape; all value-identical —
     tests/test_optim_fused.py)."""
     if getattr(args, "stacked_optimizer", False):
-        return make_stacked_group_tx(group_txs, group_of)
+        return make_stacked_group_tx(
+            group_txs, group_of,
+            max_elems=int(getattr(args, "stack_max_elems", 0) or 0))
     if getattr(args, "fused_optimizer", False):
         return make_partitioned_flat_tx(group_txs, group_of)
     return optax.multi_transform(

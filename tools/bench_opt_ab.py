@@ -83,6 +83,9 @@ def main():
             # r3 remedies (VERDICT r2 #1): same-shape leaf-bucket stacked
             # optimizer updates and bf16 Adam moment storage
             stacked_optimizer=("stacked" in variant),
+            # "stackedsmall": bucket only the tiny leaves (biases / LN
+            # scales, the profiled copy-stall buffers); kernels per-leaf
+            stack_max_elems=(32768 if "stackedsmall" in variant else 0),
             adam_moments_dtype=("bfloat16" if "bf16m" in variant
                                 else "float32"))
         tr = Stage1Trainer(a)
