@@ -267,3 +267,105 @@ def test_stacked_small_leaf_threshold_matches():
     sizes = sorted(v.shape for v in st.values())
     assert (4, 8) in [tuple(s) for s in sizes]          # stacked biases
     assert all(tuple(s) != (4, 8, 8) for s in sizes)    # kernels unstacked
+
+
+def _emb_tree(rows=32, dim=4):
+    k = jax.random.split(jax.random.PRNGKey(3), 4)
+    return {
+        "image_head": {"proj": {"kernel": jax.random.normal(k[0], (6, 4))}},
+        "text_encoder": {
+            "emb": {"embedding": jax.random.normal(k[1], (rows, dim))},
+            "l0": {"w": jax.random.normal(k[2], (4, 4))}},
+        "image_cls": {"weight": jax.random.normal(k[3], (5, 4))},
+        "text_cls": {"weight": jnp.ones((5, 4)) * 0.2},
+        "text_head": {"w": jnp.ones((4, 4)) * 0.1},
+    }
+
+
+def test_lazy_embedding_adam_rows(monkeypatch):
+    """Lazy embedding Adam (DEVIATIONS #19): rows with nonzero grads update
+    exactly like dense torch-Adam (incl. weight decay and the encoder clip);
+    untouched rows keep params bit-identical across steps (dense Adam keeps
+    decaying/momentum-moving them)."""
+    monkeypatch.setattr(optim, "EMB_MIN_ROWS", 16)
+    params = _emb_tree(rows=32)
+    touched = np.array([2, 5, 7, 19])
+    base = TGFRConfig().replace(weight_decay=0.02, clip_max_norm=1.0,
+                                batch_size=8)  # _lazy_rows -> 256 >= 32 -> k=32
+    tx_d = optim.make_stage1_bert_tx(base)
+    tx_l = optim.make_stage1_bert_tx(base.replace(lazy_embedding_adam=True))
+
+    def grads_for(params, i):
+        g = jax.tree_util.tree_map(
+            lambda p: jnp.sin(p + 0.1 * i) * 0.05, params)
+        emb = np.zeros(params["text_encoder"]["emb"]["embedding"].shape,
+                       np.float32)
+        emb[touched] = 0.3 + 0.01 * i
+        g["text_encoder"]["emb"]["embedding"] = jnp.asarray(emb)
+        return g
+
+    def run(tx):
+        p = params
+        st = tx.init(p)
+        for grp in ("head", "encoder", "cls"):
+            st = optim.set_lr(st, grp, 0.01)
+        for i in range(3):
+            u, st = tx.update(grads_for(p, i), st, p)
+            p = optax.apply_updates(p, u)
+        return p
+
+    p_d, p_l = run(tx_d), run(tx_l)
+    emb_d = np.asarray(p_d["text_encoder"]["emb"]["embedding"])
+    emb_l = np.asarray(p_l["text_encoder"]["emb"]["embedding"])
+    emb_0 = np.asarray(params["text_encoder"]["emb"]["embedding"])
+    # touched rows: lazy == dense
+    np.testing.assert_allclose(emb_l[touched], emb_d[touched],
+                               rtol=1e-6, atol=1e-7)
+    # untouched rows: lazy bit-frozen; dense moved them (wd + momentum)
+    untouched = np.setdiff1d(np.arange(32), touched)
+    np.testing.assert_array_equal(emb_l[untouched], emb_0[untouched])
+    assert not np.allclose(emb_d[untouched], emb_0[untouched])
+    # non-embedding leaves identical between the two paths
+    for key in ("l0",):
+        np.testing.assert_allclose(
+            np.asarray(p_l["text_encoder"][key]["w"]),
+            np.asarray(p_d["text_encoder"][key]["w"]), rtol=1e-6, atol=1e-7)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-6, atol=1e-7),
+        p_l["image_head"], p_d["image_head"])
+
+
+def test_lazy_embedding_row_budget_keeps_largest(monkeypatch):
+    """With more touched rows than the static budget, the top_k keeps the
+    largest-gradient rows and drops the rest (documented bound: the budget is
+    sized B*T so this cannot happen in training)."""
+    monkeypatch.setattr(optim, "EMB_MIN_ROWS", 8)
+    tx = optim._torch_adam(0.9, 0.999, lazy_emb_rows=2)
+    table = jnp.zeros((16, 4))
+    params = {"emb": table}
+    st = tx.init(params)
+    st = st._replace(hyperparams={"learning_rate": jnp.asarray(1.0)})
+    g = np.zeros((16, 4), np.float32)
+    g[3] = 1.0   # largest
+    g[9] = 0.5
+    g[12] = 0.01  # smallest — must be dropped at budget 2
+    u, _ = tx.update({"emb": jnp.asarray(g)}, st, params)
+    u = np.asarray(u["emb"])
+    assert np.abs(u[3]).sum() > 0 and np.abs(u[9]).sum() > 0
+    np.testing.assert_array_equal(u[12], 0.0)
+    np.testing.assert_array_equal(np.delete(u, [3, 9], axis=0), 0.0)
+
+
+def test_lazy_embedding_noop_without_big_tables():
+    """With no >=EMB_MIN_ROWS leaf in the tree the lazy flag must be a
+    value-level no-op vs the dense path (wiring guard)."""
+    params = _tree()
+    base = TGFRConfig().replace(weight_decay=0.02)
+    p_ref, _ = _run_steps(optim.make_stage1_bert_tx(base), params)
+    p_lazy, _ = _run_steps(optim.make_stage1_bert_tx(
+        base.replace(lazy_embedding_adam=True)), params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-6, atol=1e-7),
+        p_ref, p_lazy)

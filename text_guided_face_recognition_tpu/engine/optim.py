@@ -79,21 +79,122 @@ def _scale_by_adam_cast(b1: float, b2: float, eps: float,
     return optax.GradientTransformation(init, update)
 
 
+EMB_MIN_ROWS = 8192  # 2-D leaves with >= this many rows count as embedding tables
+
+
+def _emb_leaf(p, min_rows: int = None) -> bool:
+    min_rows = EMB_MIN_ROWS if min_rows is None else min_rows
+    return getattr(p, "ndim", 0) == 2 and p.shape[0] >= min_rows
+
+
+def _lazy_row_update(g, m, v, p, b1, b2, eps, c1, c2, wd, md, max_rows: int):
+    """Row-sparse (TF-LazyAdam-style) Adam step for one embedding-table leaf.
+
+    Only rows with a nonzero gradient this step (the tokens appearing in the
+    batch — a static top_k of at most `max_rows` rows, sized B*T by the
+    caller) have their Adam moments advanced and receive a parameter delta;
+    every other row of the 30522x768-class table keeps params AND moments
+    bit-unchanged. This deviates from dense torch Adam, where stale momentum
+    and weight decay keep moving untouched rows every step (DEVIATIONS #20);
+    weight decay is applied per touched row here. Motivation: the profiled
+    dense embedding-table Adam moves ~0.5 GB/step of moment/param HBM traffic
+    for ~768 actually-touched rows (docs/BENCHMARKS.md)."""
+    import jax
+    f32 = jnp.float32
+    k = int(min(max_rows, g.shape[0]))
+    rowsq = jnp.sum(jnp.square(g.astype(f32)), axis=1)
+    _, idx = jax.lax.top_k(rowsq, k)  # touched rows first; indices unique
+    touched = (rowsq[idx] > 0.0).astype(f32)[:, None]
+    gk = g[idx].astype(f32)
+    if wd:
+        gk = gk + wd * p[idx].astype(f32)
+    mk, vk = m[idx].astype(f32), v[idx].astype(f32)
+    mk2 = b1 * mk + (1.0 - b1) * gk
+    vk2 = b2 * vk + (1.0 - b2) * gk * gk
+    outk = (mk2 / c1) / (jnp.sqrt(vk2 / c2) + eps)
+    # rows top_k selected beyond the touched set keep old moments, zero update
+    mk2 = touched * mk2 + (1.0 - touched) * mk
+    vk2 = touched * vk2 + (1.0 - touched) * vk
+    outk = outk * touched
+    new_m = m.at[idx].set(mk2.astype(md))
+    new_v = v.at[idx].set(vk2.astype(md))
+    out = jnp.zeros(g.shape, g.dtype).at[idx].set(outk.astype(g.dtype))
+    return out, new_m, new_v
+
+
+def _scale_by_adam_mixed(b1: float, b2: float, eps: float, moment_dtype,
+                         weight_decay: float,
+                         emb_max_rows: int) -> optax.GradientTransformation:
+    """Adam with per-leaf dispatch: embedding-table leaves (_emb_leaf) get the
+    row-sparse lazy update (incl. their weight decay, touched rows only);
+    every other leaf gets the standard dense update in `moment_dtype` storage.
+    Dense leaves' weight decay must be added UPSTREAM by a masked
+    add_decayed_weights (see _torch_adam) so it is not applied twice."""
+    import jax
+
+    md = jnp.dtype(moment_dtype)
+
+    def init(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=md)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params))
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("lazy_embedding_adam requires params in update()")
+        count = state.count + 1
+        c1 = 1.0 - jnp.asarray(b1, jnp.float32) ** count
+        c2 = 1.0 - jnp.asarray(b2, jnp.float32) ** count
+
+        def one(g, m, v, p):
+            if _emb_leaf(g):
+                return _lazy_row_update(g, m, v, p, b1, b2, eps, c1, c2,
+                                        weight_decay, md, emb_max_rows)
+            g32 = g.astype(jnp.float32)
+            m32 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g32
+            v32 = b2 * v.astype(jnp.float32) + (1.0 - b2) * g32 * g32
+            out = (m32 / c1) / (jnp.sqrt(v32 / c2) + eps)
+            return out.astype(g.dtype), m32.astype(md), v32.astype(md)
+
+        trip = jax.tree_util.tree_map(one, updates, state.mu, state.nu, params)
+        outer = jax.tree_util.tree_structure(updates)
+        out, mu, nu = (jax.tree_util.tree_transpose(
+            outer, jax.tree_util.tree_structure((0, 0, 0)), trip))
+        return out, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def _torch_adam(b1: float, b2: float, weight_decay: float = 0.0,
                 eps: float = 1e-8, clip_norm: float = 0.0,
-                moment_dtype: str = "float32"):
+                moment_dtype: str = "float32", lazy_emb_rows: int = 0):
     """torch.optim.Adam equivalent with injectable lr. clip_norm > 0 prepends
     the reference's text-encoder grad clip (clip -> wd-add -> adam, matching
     torch clip-before-step order). moment_dtype != float32 stores the Adam
-    moments reduced-precision (_scale_by_adam_cast)."""
+    moments reduced-precision (_scale_by_adam_cast). lazy_emb_rows > 0 routes
+    embedding-table leaves through the row-sparse lazy update (and excludes
+    them from the dense weight-decay add — theirs happens per touched row)."""
     @optax.inject_hyperparams
     def make(learning_rate):
+        import jax
         steps = [_clip_global_norm(clip_norm)] if clip_norm else []
-        steps += [optax.add_decayed_weights(weight_decay)] if weight_decay else []
-        if jnp.dtype(moment_dtype) == jnp.float32:
-            adam = optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
+        if lazy_emb_rows:
+            if weight_decay:
+                steps += [optax.masked(
+                    optax.add_decayed_weights(weight_decay),
+                    lambda params: jax.tree_util.tree_map(
+                        lambda p: not _emb_leaf(p), params))]
+            adam = _scale_by_adam_mixed(b1, b2, eps, moment_dtype,
+                                        weight_decay, lazy_emb_rows)
         else:
-            adam = _scale_by_adam_cast(b1, b2, eps, moment_dtype)
+            steps += ([optax.add_decayed_weights(weight_decay)]
+                      if weight_decay else [])
+            if jnp.dtype(moment_dtype) == jnp.float32:
+                adam = optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
+            else:
+                adam = _scale_by_adam_cast(b1, b2, eps, moment_dtype)
         steps += [adam, optax.scale(-1.0)]
         return optax.chain(*steps, optax.scale(learning_rate))
     tx = make(learning_rate=0.0)  # set per-epoch via hyperparams
@@ -299,6 +400,15 @@ def _moments_dtype(args) -> str:
     return str(getattr(args, "adam_moments_dtype", "float32") or "float32")
 
 
+def _lazy_rows(args, words_field: str) -> int:
+    """Static touched-row bound for the lazy embedding update: at most B*T
+    distinct token ids appear per batch. 0 disables (dense Adam)."""
+    if not getattr(args, "lazy_embedding_adam", False):
+        return 0
+    t = int(getattr(args, words_field, 0) or 24)
+    return max(256, int(args.batch_size) * t)
+
+
 def make_stage1_bert_tx(args) -> optax.GradientTransformation:
     """heads-Adam(0.5, 0.999) / encoder-Adam(0.9, 0.999, wd) / cls-SGD(0.1,
     m=0.9, wd=5e-5) — reference: src/train_encoders_bert.py:212-222."""
@@ -308,7 +418,8 @@ def make_stage1_bert_tx(args) -> optax.GradientTransformation:
         "encoder": _encoder_tx(args, _torch_adam(
             0.9, 0.999, weight_decay=args.weight_decay,
             clip_norm=float(getattr(args, "clip_max_norm", 0.0) or 0.0),
-            moment_dtype=md)),
+            moment_dtype=md,
+            lazy_emb_rows=_lazy_rows(args, "bert_words_num"))),
         "cls": _torch_sgd(momentum=0.9, weight_decay=5e-5),
     }, _stage1_group)
 
@@ -322,7 +433,8 @@ def make_stage1_lstm_tx(args) -> optax.GradientTransformation:
         "encoder": _encoder_tx(args, _torch_adam(
             0.9, 0.5, weight_decay=args.weight_decay,
             clip_norm=float(getattr(args, "clip_max_norm", 0.0) or 0.0),
-            moment_dtype=md)),
+            moment_dtype=md,
+            lazy_emb_rows=_lazy_rows(args, "lstm_words_num"))),
         "cls": _torch_sgd(momentum=0.9, weight_decay=5e-5),
     }, _stage1_group)
 
@@ -331,10 +443,14 @@ def make_stage2_tx(args) -> optax.GradientTransformation:
     """cls plain-SGD(lr_image_train, wd) / encoder Adam(1e-5, wd .01) /
     head Adam(lr_head, wd 5e-5) — reference: src/fusion_bert.py:118-141."""
     md = _moments_dtype(args)
+    words_field = ("bert_words_num"
+                   if str(getattr(args, "en_type", "BERT")).upper() == "BERT"
+                   else "lstm_words_num")
     return _grouped_tx(args, {
         "cls": _torch_sgd(momentum=0.0, weight_decay=args.weight_decay),
         "encoder": _encoder_tx(args, _torch_adam(
-            0.9, 0.999, weight_decay=0.01, moment_dtype=md)),
+            0.9, 0.999, weight_decay=0.01, moment_dtype=md,
+            lazy_emb_rows=_lazy_rows(args, words_field))),
         "head": _torch_adam(0.9, 0.999, weight_decay=5e-5, moment_dtype=md),
     }, _stage2_group)
 

@@ -29,10 +29,13 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..")))
 
 VARIANTS = ("base", "fused", "rbg", "fused_rbg",
-            # r3: stacked same-shape buckets / bf16 Adam moments (config
-            # default is already rbg dropout PRNG, so these three are
-            # deltas against the rbg production baseline)
-            "stacked_rbg", "bf16m_rbg", "stacked_bf16m_rbg")
+            # r3: stacked same-shape buckets / bf16 Adam moments / lazy
+            # (row-sparse) embedding-table Adam (config default is already
+            # rbg dropout PRNG, so these are deltas against the rbg
+            # production baseline)
+            "stacked_rbg", "bf16m_rbg", "stacked_bf16m_rbg",
+            "stackedsmall_rbg", "stackedsmall_bf16m_rbg",
+            "lazyemb_bf16m_rbg", "lazyemb_rbg")
 
 
 def main():
@@ -87,7 +90,8 @@ def main():
             # scales, the profiled copy-stall buffers); kernels per-leaf
             stack_max_elems=(32768 if "stackedsmall" in variant else 0),
             adam_moments_dtype=("bfloat16" if "bf16m" in variant
-                                else "float32"))
+                                else "float32"),
+            lazy_embedding_adam=("lazyemb" in variant))
         tr = Stage1Trainer(a)
 
         def inner(state, k):
