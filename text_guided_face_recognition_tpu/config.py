@@ -204,6 +204,7 @@ class TGFRConfig:
     stack_max_elems: int = 0               # stacked_optimizer: only stack leaves <= this many elements (0 = all); big GEMM kernels stay per-leaf
     adam_moments_dtype: str = "float32"    # Adam moment storage dtype ("float32" | "bfloat16"); bf16 halves optimizer-state HBM traffic
     lazy_embedding_adam: bool = False      # row-sparse (LazyAdam) update for large embedding tables in the encoder group (engine/optim.py r3)
+    rnn_unroll: int = 1                    # lax.scan unroll factor for the bi-LSTM/GRU scans (models/text_rnn.py; T=18 fully unrolls)
     prng_impl: str = "rbg"                 # dropout-mask PRNG ("rbg" | "threefry2x32"); threefry costs ~14% of the stage-1 step
 
     # Anything else found in a YAML lands here and is still attribute-accessible.

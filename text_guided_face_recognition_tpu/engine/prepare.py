@@ -206,6 +206,7 @@ def prepare_text_encoder(args, load: bool = True
     # LSTM / GRU
     enc = M.RNNEncoder(vocab_size=max(int(args.vocab_size), 2),
                        en_type=args.en_type, nhidden=args.embedding_dim,
+                       unroll=max(1, int(getattr(args, "rnn_unroll", 1) or 1)),
                        dtype=dtype)
     caps = jnp.zeros((1, args.lstm_words_num), jnp.int32)
     lens = jnp.ones((1,), jnp.int32)

@@ -37,6 +37,7 @@ class RNNEncoder(nn.Module):
     nhidden: int = 256             # total hidden (split across directions)
     drop_prob: float = 0.5
     bidirectional: bool = True
+    unroll: int = 1                # lax.scan unroll factor (param-tree-neutral)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -61,8 +62,8 @@ class RNNEncoder(nn.Module):
             raise NotImplementedError(self.en_type)
 
         lens = cap_lens.astype(jnp.int32)
-        fwd_out = nn.RNN(make_cell("fwd"), name="rnn_fwd")(
-            emb, seq_lengths=lens)
+        fwd_out = nn.RNN(make_cell("fwd"), unroll=self.unroll,
+                         name="rnn_fwd")(emb, seq_lengths=lens)
         # final hidden at each caption's true length: for an (O)LSTM/GRU the
         # per-step output IS the hidden state, so gather instead of trusting
         # the scan carry (packed-LSTM-exact; parity-tested against torch)
@@ -71,7 +72,8 @@ class RNNEncoder(nn.Module):
         finals = [jnp.take_along_axis(fwd_out, idx, axis=1)[:, 0, :]]
         if self.bidirectional:
             bwd_out = nn.RNN(make_cell("bwd"), reverse=True, keep_order=True,
-                             name="rnn_bwd")(emb, seq_lengths=lens)
+                             unroll=self.unroll, name="rnn_bwd")(
+                emb, seq_lengths=lens)
             outs.append(bwd_out)
             finals.append(bwd_out[:, 0, :])  # backward final = position 0
 
