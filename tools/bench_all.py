@@ -67,8 +67,10 @@ def main():
                 rng.integers(1000, 30000, (B, T)).astype(np.int32))
             b["mask"] = jnp.ones((B, T), jnp.int32)
         else:
+            # ids must stay inside the dataset-built vocab (~200 synthetic
+            # words) — out-of-range ids hit jnp.take's NaN fill in nn.Embed
             b["caps"] = jnp.asarray(
-                rng.integers(1, 5000, (B, 18)).astype(np.int32))
+                rng.integers(1, 199, (B, 18)).astype(np.int32))
             b["cap_len"] = jnp.asarray(
                 rng.integers(5, 19, B).astype(np.int32))
         return b

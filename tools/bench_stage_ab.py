@@ -77,12 +77,7 @@ def main():
             rng.normal(size=(B, 112, 112, 3)).astype(np.float32)),
         "cls_id": jnp.asarray(rng.integers(0, 4500, B).astype(np.int32)),
     }
-    if is_lstm:
-        batch["caps"] = jnp.asarray(
-            rng.integers(1, 5000, (B, 18)).astype(np.int32))
-        batch["cap_len"] = jnp.asarray(
-            rng.integers(5, 19, B).astype(np.int32))
-    else:
+    if not is_lstm:
         batch["caps"] = jnp.asarray(
             rng.integers(1000, 30000, (B, 24)).astype(np.int32))
         batch["mask"] = jnp.ones((B, 24), jnp.int32)
@@ -99,6 +94,15 @@ def main():
         if is_lstm:
             a = a.replace(en_type="LSTM", lambda_clip=1.0)
             tr = Stage1Trainer(a)
+            if "caps" not in batch:
+                # token ids must stay inside the dataset-built vocab —
+                # out-of-range ids hit jnp.take's NaN fill inside nn.Embed
+                vocab = int(getattr(tr.args, "vocab_size", 0) or 200)
+                batch["caps"] = jnp.asarray(
+                    rng.integers(1, max(2, vocab - 1),
+                                 (B, 18)).astype(np.int32))
+                batch["cap_len"] = jnp.asarray(
+                    rng.integers(5, 19, B).astype(np.int32))
         else:
             a = a.replace(en_type="BERT", bert_type="bert",
                           fusion_type="fcfm", CONFIG_NAME="Fusion")

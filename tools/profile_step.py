@@ -6,7 +6,10 @@ tunnel is real even though host-side dispatch timing is not — then parses the
 xplane.pb and aggregates per-op device time.
 
 Usage: python tools/profile_step.py [--batch 32] [--k 8] [--top 25]
-                                    [--stage 1|2] [--cpu]
+                                    [--stage 1|2|lstm] [--cpu]
+                                    [--rnn_unroll N] [--stack_max_elems N]
+                                    [--adam_moments_dtype bfloat16]
+                                    [--lazy_embedding_adam]
 Prints one JSON line per aggregated op group plus a total line; the per-step
 cost is total_device_ms / k.
 """
@@ -91,7 +94,13 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--top", type=int, default=25)
-    ap.add_argument("--stage", type=int, default=1)
+    ap.add_argument("--stage", default="1",
+                    help="1 | 2 | lstm (stage-1 LSTM at its reference batch)")
+    ap.add_argument("--rnn_unroll", type=int, default=1)
+    ap.add_argument("--stack_max_elems", type=int, default=0,
+                    help=">0 turns on stacked_optimizer with this threshold")
+    ap.add_argument("--adam_moments_dtype", default="float32")
+    ap.add_argument("--lazy_embedding_adam", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--trace-dir", default=None,
                     help="parse an existing trace instead of capturing")
@@ -114,22 +123,38 @@ def main():
         from text_guided_face_recognition_tpu.utils.benching import chain_steps
 
         B = args_cli.batch
+        is_lstm = str(args_cli.stage) == "lstm"
         rng = np.random.default_rng(0)
         batch = {
             "img": jnp.asarray(
                 rng.normal(size=(B, 112, 112, 3)).astype(np.float32)),
-            "caps": jnp.asarray(
-                rng.integers(1000, 30000, (B, 24)).astype(np.int32)),
-            "mask": jnp.ones((B, 24), jnp.int32),
             "cls_id": jnp.asarray(rng.integers(0, 4500, B).astype(np.int32)),
         }
+        if is_lstm:
+            batch["caps"] = jnp.asarray(
+                rng.integers(1, 5000, (B, 18)).astype(np.int32))
+            batch["cap_len"] = jnp.asarray(
+                rng.integers(5, 19, B).astype(np.int32))
+        else:
+            batch["caps"] = jnp.asarray(
+                rng.integers(1000, 30000, (B, 24)).astype(np.int32))
+            batch["mask"] = jnp.ones((B, 24), jnp.int32)
         base = TGFRConfig().replace(
-            en_type="BERT", bert_type="bert", synthetic=True, batch_size=B,
-            num_workers=2, max_epoch=1)
-        if args_cli.stage == 2:
-            base = base.replace(fusion_type="fcfm", CONFIG_NAME="Fusion")
+            synthetic=True, batch_size=B, num_workers=2, max_epoch=1,
+            rnn_unroll=args_cli.rnn_unroll,
+            stacked_optimizer=bool(args_cli.stack_max_elems),
+            stack_max_elems=args_cli.stack_max_elems,
+            adam_moments_dtype=args_cli.adam_moments_dtype,
+            lazy_embedding_adam=args_cli.lazy_embedding_adam)
+        if is_lstm:
+            base = base.replace(en_type="LSTM", lambda_clip=1.0)
+            tr = Stage1Trainer(base)
+        elif str(args_cli.stage) == "2":
+            base = base.replace(en_type="BERT", bert_type="bert",
+                                fusion_type="fcfm", CONFIG_NAME="Fusion")
             tr = FusionTrainer(base)
         else:
+            base = base.replace(en_type="BERT", bert_type="bert")
             tr = Stage1Trainer(base)
         frozen = tr.backbone.variables
 
