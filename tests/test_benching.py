@@ -42,9 +42,15 @@ def test_time_chained_steps_returns_positive_marginal_ms():
         state = state @ state * 1e-3 + 1e-3
         return state, jnp.sum(state)
 
-    ms = time_chained_steps(inner, jnp.eye(256, dtype=jnp.float32),
-                            jax.random.PRNGKey(0), ks=(2, 16), donate=False,
-                            repeats=3)
+    # The marginal of a ~us-scale program can go non-positive when the host
+    # is contended (another bench hogging the single core); retry a couple
+    # of times before declaring the harness broken.
+    for attempt in range(3):
+        ms = time_chained_steps(inner, jnp.eye(256, dtype=jnp.float32),
+                                jax.random.PRNGKey(0), ks=(2, 16),
+                                donate=False, repeats=3)
+        if ms > 0:
+            break
     assert ms > 0
 
 
