@@ -67,3 +67,18 @@ def test_time_chained_forward_positive_and_dependence_kept():
     assert ms > 0
     # traced inside scan once per k-program, not once per iteration
     assert calls["traces"] <= 4
+
+
+def test_chain_steps_compiler_options_path():
+    """compiler_options routes through AOT lower().compile() — same
+    semantics as the plain jit path, keyed on arg shapes so a shape change
+    recompiles instead of reusing a stale executable."""
+    def inner(state, key):
+        return state + 1.0, jnp.sum(state)
+
+    run = chain_steps(inner, donate=False,
+                      compiler_options={"xla_embed_ir_in_executable": False})
+    st, _ = run(jnp.zeros((4,)), jax.random.PRNGKey(0), 5)
+    assert float(st[0]) == 5.0
+    st8, _ = run(jnp.zeros((8,)), jax.random.PRNGKey(0), 3)
+    assert st8.shape == (8,) and float(st8[0]) == 3.0

@@ -44,7 +44,8 @@ __all__ = ["chain_steps", "time_chained_steps", "time_chained_forward"]
 
 
 def chain_steps(inner: Callable[[Any, jax.Array], Tuple[Any, jnp.ndarray]],
-                donate: bool = True):
+                donate: bool = True,
+                compiler_options: dict | None = None):
     """Compile `inner(state, rng_key) -> (state, scalar)` into
     `run(state, key, k)` executing k chained iterations in one dispatch.
 
@@ -52,23 +53,49 @@ def chain_steps(inner: Callable[[Any, jax.Array], Tuple[Any, jnp.ndarray]],
     which matters here because each compile of the full train step through the
     tunnel takes 10-25 minutes. Iterations keep a true data dependence (state
     threads through the loop), so executions cannot be elided; the final
-    scalar is returned as the thing to block on."""
+    scalar is returned as the thing to block on.
 
-    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    compiler_options: optional per-program XLA options (e.g.
+    {"xla_tpu_scoped_vmem_limit_kib": "65536"}). These travel INSIDE the
+    compile request, so they reach the server-side TPU compiler even through
+    the axon tunnel where XLA_FLAGS env vars do not (tools/bench_xla_opts.py
+    A/Bs them). When set, the program is AOT-compiled on first call for the
+    given arg shapes."""
+
+    jitted = jax.jit(lambda state, key, k: _chain_body(inner, state, key, k),
+                     donate_argnums=(0,) if donate else ())
+    if not compiler_options:
+        return jitted
+
+    cache = {}
+
     def run(state, key, k):
-        def cond(c):
-            return c[0] < k
-        def body(c):
-            i, st, ky, _ = c
-            ky, sub = jax.random.split(ky)
-            st, scalar = inner(st, sub)
-            return (i + 1, st, ky,
-                    jnp.asarray(scalar, jnp.float32).reshape(()))
-        init = (jnp.int32(0), state, key, jnp.float32(0))
-        _, st, _, last = jax.lax.while_loop(cond, body, init)
-        return st, last
+        leaves, treedef = jax.tree_util.tree_flatten((state, key))
+        shapes = (treedef, tuple((l.shape, str(l.dtype)) for l in leaves))
+        compiled = cache.get(shapes)
+        if compiled is None:
+            compiled = jitted.lower(state, key, jnp.int32(0)).compile(
+                compiler_options=dict(compiler_options))
+            cache[shapes] = compiled
+        return compiled(state, key, jnp.int32(k))
 
     return run
+
+
+def _chain_body(inner, state, key, k):
+    def cond(c):
+        return c[0] < k
+
+    def body(c):
+        i, st, ky, _ = c
+        ky, sub = jax.random.split(ky)
+        st, scalar = inner(st, sub)
+        return (i + 1, st, ky,
+                jnp.asarray(scalar, jnp.float32).reshape(()))
+
+    init = (jnp.int32(0), state, key, jnp.float32(0))
+    _, st, _, last = jax.lax.while_loop(cond, body, init)
+    return st, last
 
 
 def time_chained_steps(inner, state, key,
