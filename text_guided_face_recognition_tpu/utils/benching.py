@@ -100,7 +100,8 @@ def _chain_body(inner, state, key, k):
 
 def time_chained_steps(inner, state, key,
                        ks: Sequence[int] = (4, 24),
-                       donate: bool = True, repeats: int = 2) -> float:
+                       donate: bool = True, repeats: int = 2,
+                       compiler_options: dict | None = None) -> float:
     """True per-step milliseconds of `inner` (see module docstring).
 
     Compiles ONE dynamic-trip-count program (persistent-cached), warms it,
@@ -109,7 +110,7 @@ def time_chained_steps(inner, state, key,
     between the two k values.
     """
     assert len(ks) == 2 and ks[1] > ks[0]
-    run = chain_steps(inner, donate=donate)
+    run = chain_steps(inner, donate=donate, compiler_options=compiler_options)
     state, last = run(state, key, ks[0])             # compile + warm
     jax.block_until_ready(last)
     totals = []
