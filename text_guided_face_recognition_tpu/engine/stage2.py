@@ -35,6 +35,7 @@ from text_guided_face_recognition_tpu.parallel import (
     prefetch_to_device,
 )
 from text_guided_face_recognition_tpu.utils.logging import MetricLogger
+from text_guided_face_recognition_tpu.utils.xla_opts import resolve_xla_opts
 from text_guided_face_recognition_tpu.utils.profiling import (
     maybe_profile,
     nan_guard,
@@ -113,7 +114,9 @@ class FusionTrainer:
 
         # unjitted step kept for scan-chained benchmarking (utils/benching.py)
         self._train_step_fn = train_step
-        return jax.jit(train_step, donate_argnums=(0,))
+        return jax.jit(train_step, donate_argnums=(0,),
+                       compiler_options=resolve_xla_opts(
+                           getattr(self.args, "xla_opts", "allsched")))
 
     def build_loss_fn(self):
         """Stage-2 margin loss as a pure function (per-sample — no cross-batch

@@ -49,6 +49,15 @@ VARIANTS: dict[str, dict] = {
     # Latency-hiding scheduler off: isolates the scheduler's net effect on
     # the copy-stall pattern (diagnostic).
     "nolhs": {"xla_tpu_enable_latency_hiding_scheduler": False},
+    # Compositions over the measured stage-1 winner (allsched +12%).
+    "allsched_rerun": {
+        "xla_tpu_enable_all_experimental_scheduler_features": True,
+        "xla_latency_hiding_scheduler_rerun": 2,
+    },
+    "allsched_copybw": {
+        "xla_tpu_enable_all_experimental_scheduler_features": True,
+        "xla_tpu_async_copy_bandwidth_scaling_factor": 2.0,
+    },
 }
 
 
