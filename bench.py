@@ -120,6 +120,8 @@ def main():
     from text_guided_face_recognition_tpu.engine.stage1 import Stage1Trainer
     from text_guided_face_recognition_tpu.utils.benching import (
         time_chained_steps)
+    from text_guided_face_recognition_tpu.utils.xla_opts import (
+        resolve_xla_opts)
 
     B = 32  # reference stage-1 BERT batch (cfg/train_bert.yml:41)
     args = TGFRConfig().replace(
@@ -142,8 +144,11 @@ def main():
         return state, metrics["total_loss"]
 
     ks = (2, 6) if force_cpu else (4, 24)
+    # Same per-program compiler options the production trainers jit with
+    # (config default xla_opts="allsched"; None on non-TPU backends).
     ms = time_chained_steps(inner, trainer.state, trainer._dropout_key,
-                            ks=ks)
+                            ks=ks,
+                            compiler_options=resolve_xla_opts(args.xla_opts))
     pairs_per_sec_per_chip = B / (ms / 1000.0) / jax.device_count()
     print(json.dumps({
         "metric": "stage1_bert_train_pairs_per_sec_per_chip",

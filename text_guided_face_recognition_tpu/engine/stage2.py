@@ -116,7 +116,7 @@ class FusionTrainer:
         self._train_step_fn = train_step
         return jax.jit(train_step, donate_argnums=(0,),
                        compiler_options=resolve_xla_opts(
-                           getattr(self.args, "xla_opts", "allsched")))
+                           getattr(self.args, "xla_opts_stage2", "none")))
 
     def build_loss_fn(self):
         """Stage-2 margin loss as a pure function (per-sample — no cross-batch

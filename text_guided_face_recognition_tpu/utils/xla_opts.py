@@ -20,11 +20,15 @@ from typing import Any, Dict, Optional
 import jax
 
 # Measured on v5e (B=32 stage-1 BERT step): "allsched" 9.91 ms vs 11.12 ms
-# base (+12%). Scoped-VMEM raises (65536/98304 KiB) and async-copy bandwidth
-# scaling measured neutral-to-negative; see docs/BENCHMARKS.md.
+# base (+12%) — stage-1 default. On the stage-2 fusion step (B=64) allsched
+# measured slightly NEGATIVE (15.14 vs 14.93 ms), so stage-2 defaults to
+# "none". Scoped-VMEM raises (65536/98304 KiB), async-copy bandwidth scaling,
+# and composing a scheduler rerun over allsched (11.11 ms) all measured
+# neutral-to-negative; full table in docs/BENCHMARKS.md.
 PRESETS: Dict[str, Dict[str, Any]] = {
     "none": {},
     "allsched": {"xla_tpu_enable_all_experimental_scheduler_features": True},
+    # kept selectable for A/B despite losing to plain allsched on stage-1
     "allsched_rerun": {
         "xla_tpu_enable_all_experimental_scheduler_features": True,
         "xla_latency_hiding_scheduler_rerun": 2,
