@@ -143,11 +143,13 @@ def main():
         state, metrics = trainer._train_step_fn(state, batch, frozen, key)
         return state, metrics["total_loss"]
 
-    ks = (2, 6) if force_cpu else (4, 24)
     # Same per-program compiler options the production trainers jit with
-    # (config default xla_opts="allsched"; None on non-TPU backends).
+    # (None on non-TPU backends). ks/repeats: harness defaults — wide k
+    # spread + deep min against the tunnel's two-sided marginal noise
+    # (utils/benching.time_chained_steps docstring).
+    ks = (2, 6) if force_cpu else (4, 44)
     ms = time_chained_steps(inner, trainer.state, trainer._dropout_key,
-                            ks=ks,
+                            ks=ks, repeats=6,
                             compiler_options=resolve_xla_opts(args.xla_opts))
     pairs_per_sec_per_chip = B / (ms / 1000.0) / jax.device_count()
     print(json.dumps({

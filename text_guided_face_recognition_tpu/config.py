@@ -206,8 +206,8 @@ class TGFRConfig:
     lazy_embedding_adam: bool = False      # row-sparse (LazyAdam) update for large embedding tables in the encoder group (engine/optim.py r3)
     rnn_unroll: int = 18                   # lax.scan unroll factor for the bi-LSTM/GRU scans (models/text_rnn.py); 18 fully unrolls the reference T=18 (+5% LSTM step, docs/BENCHMARKS.md; param-tree-neutral)
     prng_impl: str = "rbg"                 # dropout-mask PRNG ("rbg" | "threefry2x32"); threefry costs ~14% of the stage-1 step
-    xla_opts: str = "allsched"             # XLA compiler-option preset for the jitted stage-1 train step (utils/xla_opts.py; TPU-only, +12% measured; "none" = compiler defaults)
-    xla_opts_stage2: str = "none"          # same for the stage-2 fusion step — "allsched" measured slightly NEGATIVE there (-1.4%, docs/BENCHMARKS.md), so default is compiler defaults
+    xla_opts: str = "none"                 # XLA compiler-option preset for the jitted stage-1 train step (utils/xla_opts.py; TPU-only). The r3 "allsched +12%" adoption did NOT survive a robust re-measure (11.05 vs 11.07 ms back-to-back — the original delta was two-sided marginal-timing noise, utils/benching.py docstring), so the default is back to compiler defaults
+    xla_opts_stage2: str = "none"          # same for the stage-2 fusion step (always measured neutral-to-negative there)
 
     # Anything else found in a YAML lands here and is still attribute-accessible.
     extras: Dict[str, Any] = field(default_factory=dict)

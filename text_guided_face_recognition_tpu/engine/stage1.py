@@ -198,7 +198,7 @@ class Stage1Trainer:
         self._train_step_fn = train_step
         return jax.jit(train_step, donate_argnums=(0,),
                        compiler_options=resolve_xla_opts(
-                           getattr(self.args, "xla_opts", "allsched")))
+                           getattr(self.args, "xla_opts", "none")))
 
     def build_loss_fn(self, axis_name: Optional[str] = None):
         """The stage-1 loss cocktail as a pure function.

@@ -11,6 +11,14 @@ the VMEM-prefetch copy-stall slice that dominates the non-GEMM step time.
 The options are TPU-compiler flags: `resolve_xla_opts` returns None on any
 other backend (CPU tests, the driver's virtual-device dryrun) so the same
 config runs everywhere.
+
+OUTCOME (r3, final): every preset measured NEUTRAL or negative once the
+benchmark harness was hardened against two-sided marginal-timing noise
+(utils/benching.py docstring) — the initially-adopted "allsched +12%" did not
+reproduce back-to-back (11.048 vs 11.069 ms). Both stage defaults are "none";
+the plumbing stays because per-program compiler_options are the ONLY way to
+reach the server-side TPU compiler through the axon tunnel, and the presets
+remain selectable for A/B on other TPU generations.
 """
 
 from __future__ import annotations
@@ -19,12 +27,11 @@ from typing import Any, Dict, Optional
 
 import jax
 
-# Measured on v5e (B=32 stage-1 BERT step): "allsched" 9.91 ms vs 11.12 ms
-# base (+12%) — stage-1 default. On the stage-2 fusion step (B=64) allsched
-# measured slightly NEGATIVE (15.14 vs 14.93 ms), so stage-2 defaults to
-# "none". Scoped-VMEM raises (65536/98304 KiB), async-copy bandwidth scaling,
-# and composing a scheduler rerun over allsched (11.11 ms) all measured
-# neutral-to-negative; full table in docs/BENCHMARKS.md.
+# Measured on v5e (B=32 stage-1 BERT step), robust back-to-back methodology:
+# "allsched" 11.048 vs 11.069 ms base — NEUTRAL (the earlier 9.91-vs-11.12
+# reading was marginal noise). Scoped-VMEM raises (65536/98304 KiB) are
+# clearly negative (14.6/11.6 ms); everything else neutral; full table in
+# docs/BENCHMARKS.md.
 PRESETS: Dict[str, Dict[str, Any]] = {
     "none": {},
     "allsched": {"xla_tpu_enable_all_experimental_scheduler_features": True},

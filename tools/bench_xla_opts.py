@@ -85,6 +85,10 @@ def main():
                          "when possible); all --opt flags form ONE variant "
                          "named 'cli'")
     ap.add_argument("--ks", default=None)
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="min-of-N repeats per k (marginal noise is "
+                         "TWO-sided: use >=4 and a wide k spread for "
+                         "adoption decisions)")
     ap.add_argument("--probe-only", action="store_true")
     args_cli = ap.parse_args()
 
@@ -175,7 +179,8 @@ def main():
         state0 = jax.tree_util.tree_map(jnp.array, tr.state)
         try:
             ms = time_chained_steps(inner, state0, jax.random.PRNGKey(0),
-                                    ks=ks, compiler_options=opts or None)
+                                    ks=ks, repeats=args_cli.repeats,
+                                    compiler_options=opts or None)
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"variant": name, "options": opts,
                               "error": f"{type(e).__name__}: {e}"[:400]}),

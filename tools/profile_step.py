@@ -10,6 +10,10 @@ Usage: python tools/profile_step.py [--batch 32] [--k 8] [--top 25]
                                     [--rnn_unroll N] [--stack_max_elems N]
                                     [--adam_moments_dtype bfloat16]
                                     [--lazy_embedding_adam]
+                                    [--xla_opts PRESET]
+Optimizer/unroll knobs default to the production TGFRConfig defaults;
+--xla_opts defaults to the stage's production preset (utils/xla_opts) so the
+default invocation profiles exactly the program the trainers run.
 Prints one JSON line per aggregated op group plus a total line; the per-step
 cost is total_device_ms / k.
 """
@@ -96,11 +100,14 @@ def main():
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--stage", default="1",
                     help="1 | 2 | lstm (stage-1 LSTM at its reference batch)")
-    ap.add_argument("--rnn_unroll", type=int, default=1)
-    ap.add_argument("--stack_max_elems", type=int, default=0,
-                    help=">0 turns on stacked_optimizer with this threshold")
-    ap.add_argument("--adam_moments_dtype", default="float32")
+    ap.add_argument("--rnn_unroll", type=int, default=None)
+    ap.add_argument("--stack_max_elems", type=int, default=None,
+                    help="0 disables stacked_optimizer; >0 sets threshold")
+    ap.add_argument("--adam_moments_dtype", default=None)
     ap.add_argument("--lazy_embedding_adam", action="store_true")
+    ap.add_argument("--xla_opts", default=None,
+                    help="preset name (utils/xla_opts); default = the "
+                         "stage's production preset")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--trace-dir", default=None,
                     help="parse an existing trace instead of capturing")
@@ -139,13 +146,19 @@ def main():
             batch["caps"] = jnp.asarray(
                 rng.integers(1000, 30000, (B, 24)).astype(np.int32))
             batch["mask"] = jnp.ones((B, 24), jnp.int32)
+        overrides = {}
+        if args_cli.rnn_unroll is not None:
+            overrides["rnn_unroll"] = args_cli.rnn_unroll
+        if args_cli.stack_max_elems is not None:
+            overrides["stacked_optimizer"] = bool(args_cli.stack_max_elems)
+            overrides["stack_max_elems"] = args_cli.stack_max_elems
+        if args_cli.adam_moments_dtype is not None:
+            overrides["adam_moments_dtype"] = args_cli.adam_moments_dtype
+        if args_cli.lazy_embedding_adam:
+            overrides["lazy_embedding_adam"] = True
         base = TGFRConfig().replace(
             synthetic=True, batch_size=B, num_workers=2, max_epoch=1,
-            rnn_unroll=args_cli.rnn_unroll,
-            stacked_optimizer=bool(args_cli.stack_max_elems),
-            stack_max_elems=args_cli.stack_max_elems,
-            adam_moments_dtype=args_cli.adam_moments_dtype,
-            lazy_embedding_adam=args_cli.lazy_embedding_adam)
+            **overrides)
         if is_lstm:
             base = base.replace(en_type="LSTM", lambda_clip=1.0)
             tr = Stage1Trainer(base)
@@ -163,7 +176,14 @@ def main():
             scalar = m["total_loss"] if "total_loss" in m else m["loss"]
             return state, scalar
 
-        run = chain_steps(inner, donate=False)
+        from text_guided_face_recognition_tpu.utils.xla_opts import (
+            resolve_xla_opts)
+        preset = args_cli.xla_opts
+        if preset is None:
+            preset = (base.xla_opts_stage2 if str(args_cli.stage) == "2"
+                      else base.xla_opts)
+        run = chain_steps(inner, donate=False,
+                          compiler_options=resolve_xla_opts(preset))
         key = tr._dropout_key
         state, scalars = run(tr.state, key, args_cli.k)   # compile + warm
         jax.block_until_ready(scalars)
