@@ -369,3 +369,54 @@ def test_lazy_embedding_noop_without_big_tables():
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 rtol=1e-6, atol=1e-7),
         p_ref, p_lazy)
+
+
+def test_bf16_grads_through_every_optimizer_path():
+    """cast_grads(bfloat16) must flow through multi_transform, stacked and
+    fused paths against fp32 params/state, and stay close to the fp32-grad
+    update (bf16 rounding of the grad leaves only)."""
+    params = _tree()
+    base = TGFRConfig().replace(weight_decay=0.02, clip_max_norm=1.0)
+    ref, _ = _run_steps(optim.make_stage1_bert_tx(
+        base.replace(stacked_optimizer=False)), params)
+    for cfg in (base.replace(stacked_optimizer=False),
+                base.replace(stacked_optimizer=True, stack_max_elems=0),
+                base.replace(stacked_optimizer=True, stack_max_elems=64),
+                base.replace(stacked_optimizer=False, fused_optimizer=True)):
+        tx = optim.make_stage1_bert_tx(cfg)
+        state = tx.init(params)
+        for g in ("head", "encoder", "cls"):
+            state = optim.set_lr(state, g, 0.01 * (1 + hash(g) % 3))
+        p = params
+        import optax as _optax
+        for i in range(3):
+            grads = jax.tree_util.tree_map(
+                lambda q: jnp.sin(q + 0.1 * i) * 0.05, p)
+            grads = optim.cast_grads(grads, "bfloat16")
+            assert jax.tree_util.tree_leaves(grads)[0].dtype == jnp.bfloat16
+            updates, state = tx.update(grads, state, p)
+            p = _optax.apply_updates(p, updates)
+        # params must stay fp32 and track the fp32-grad trajectory
+        jax.tree_util.tree_map(
+            lambda a, b: (
+                np.testing.assert_equal(np.asarray(a).dtype, np.float32),
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=0.02, atol=2e-4)),
+            p, ref)
+
+
+def test_clip_global_norm_fp32_accumulation_under_bf16():
+    """The encoder-chain clip must compute the global norm with fp32
+    accumulation even when the grad leaves are bf16: summing ~1e6 squares
+    in bf16 loses the norm entirely (1 + eps == 1 in bf16 past 256)."""
+    tx = optim._clip_global_norm(1.0)
+    n = 1 << 16
+    g32 = {"w": jnp.full((n,), 0.01, jnp.float32)}
+    g16 = {"w": g32["w"].astype(jnp.bfloat16)}
+    u32, _ = tx.update(g32, optax.EmptyState())
+    u16, _ = tx.update(g16, optax.EmptyState())
+    # true norm = 0.01*256 = 2.56 -> scale 1/2.56; bf16 accumulation would
+    # saturate the running sum and mis-scale by >2x
+    np.testing.assert_allclose(np.asarray(u16["w"], np.float32),
+                               np.asarray(u32["w"]), rtol=0.02)
+    assert float(jnp.abs(u16["w"]).max()) < 0.006  # actually clipped

@@ -17,25 +17,55 @@ src/train_encoders_lstm.py:180-183).
 
 from __future__ import annotations
 
+import functools
+
 from typing import Any, Callable, Dict
 
 import jax.numpy as jnp
 import optax
 
 __all__ = ["make_stage1_bert_tx", "make_stage1_lstm_tx", "make_stage2_tx",
-           "label_params"]
+           "label_params", "cast_grads"]
 
 
 def _clip_global_norm(max_norm: float) -> optax.GradientTransformation:
     """torch.nn.utils.clip_grad_norm_ semantics: scale = min(1, c/max(g,eps)).
     Under optax.flatten this is ONE norm + one multiply on the flat vector
-    (vs ~2 ops per leaf when applied tree-wise in the train step)."""
+    (vs ~2 ops per leaf when applied tree-wise in the train step).
+
+    The squared-norm accumulates in fp32 regardless of the grad-leaf dtype
+    (the convert fuses into the reduce): with `grads_dtype: bfloat16` a
+    naive optax.global_norm would sum 110M squares in bf16 and lose the
+    norm to rounding. The scale is applied in each leaf's own dtype so
+    clipping never re-materializes a wider grad tree."""
     def update(updates, state, params=None):
         import jax
-        gnorm = optax.global_norm(updates)
+        sq = sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                 for x in jax.tree_util.tree_leaves(updates))
+        gnorm = jnp.sqrt(sq)
         scale = jnp.minimum(1.0, max_norm / jnp.maximum(gnorm, 1e-6))
-        return jax.tree_util.tree_map(lambda x: x * scale, updates), state
+        return jax.tree_util.tree_map(
+            lambda x: x * scale.astype(x.dtype), updates), state
     return optax.GradientTransformation(lambda _: optax.EmptyState(), update)
+
+
+def cast_grads(grads, dtype: str):
+    """Cast every inexact grad leaf to `dtype` at the jax.grad boundary
+    (config `grads_dtype`, default measured in docs/BENCHMARKS.md).
+
+    Under jit the converts fuse into the grad-producing kernels (dW GEMM
+    epilogues), so with bfloat16 the fp32 gradient tree never reaches HBM:
+    dW writes, the clip-norm read pass, and the Adam grad reads all halve
+    (~1.3 GB/step -> ~0.66 GB over the ~110M-param text tower). Adam moment
+    math still accumulates in fp32 (_scale_by_adam_cast casts per element
+    inside the fused update). No-op for "float32"."""
+    import jax
+    if not dtype or jnp.dtype(dtype) == jnp.float32:
+        return grads
+    dt = jnp.dtype(dtype)
+    return jax.tree_util.tree_map(
+        lambda g: g.astype(dt) if jnp.issubdtype(g.dtype, jnp.inexact) else g,
+        grads)
 
 
 def _scale_by_adam_cast(b1: float, b2: float, eps: float,
@@ -176,7 +206,11 @@ def _torch_adam(b1: float, b2: float, weight_decay: float = 0.0,
     moments reduced-precision (_scale_by_adam_cast). lazy_emb_rows > 0 routes
     embedding-table leaves through the row-sparse lazy update (and excludes
     them from the dense weight-decay add — theirs happens per touched row)."""
-    @optax.inject_hyperparams
+    # hyperparam_dtype pinned: inject_hyperparams otherwise re-emits the
+    # lr state in the update dtype, which flips it to bf16 under
+    # grads_dtype=bfloat16 and breaks while_loop carry typing in benches.
+    @functools.partial(optax.inject_hyperparams,
+                       hyperparam_dtype=jnp.float32)
     def make(learning_rate):
         import jax
         steps = [_clip_global_norm(clip_norm)] if clip_norm else []
@@ -202,7 +236,8 @@ def _torch_adam(b1: float, b2: float, weight_decay: float = 0.0,
 
 
 def _torch_sgd(momentum: float = 0.0, weight_decay: float = 0.0):
-    @optax.inject_hyperparams
+    @functools.partial(optax.inject_hyperparams,
+                       hyperparam_dtype=jnp.float32)
     def make(learning_rate):
         steps = [optax.add_decayed_weights(weight_decay)] if weight_decay else []
         if momentum:
@@ -283,7 +318,11 @@ def make_partitioned_flat_tx(group_txs: Dict[str, optax.GradientTransformation],
 def _bucket_key(x, i: int, max_elems: int) -> str:
     if max_elems and x.size > max_elems:
         return f"leaf{i}"  # too big to stack: its own singleton bucket
-    return f"{jnp.result_type(x).name}{tuple(x.shape)}"
+    # Shape-only key: the UPDATES tree may arrive in a narrower dtype than
+    # the params the state was init'ed from (grads_dtype: bfloat16), and
+    # dtype-qualified keys would mismatch the stacked optimizer state.
+    # _stack_tree asserts each bucket is dtype-homogeneous.
+    return f"s{tuple(x.shape)}"
 
 
 def _bucket_leaves(tree, max_elems: int = 0):
@@ -305,8 +344,14 @@ def _stack_tree(tree, max_elems: int = 0) -> Dict[str, Any]:
     _, leaves, buckets = _bucket_leaves(tree, max_elems)
     out = {}
     for name, idxs in buckets.items():
-        out[name] = (leaves[idxs[0]] if len(idxs) == 1
-                     else jnp.stack([leaves[i] for i in idxs]))
+        if len(idxs) == 1:
+            out[name] = leaves[idxs[0]]
+        else:
+            dts = {jnp.result_type(leaves[i]).name for i in idxs}
+            if len(dts) > 1:  # shape-only keys must never mix dtypes
+                raise ValueError(f"stacked-optimizer bucket {name} mixes "
+                                 f"dtypes {sorted(dts)}")
+            out[name] = jnp.stack([leaves[i] for i in idxs])
     return out
 
 

@@ -179,9 +179,12 @@ class Stage1Trainer:
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (_, (new_img_stats, metrics)), grads = grad_fn(
                 state.params, state.batch_stats, batch, frozen_vars, rng)
+            grads = optim.cast_grads(grads,
+                                     getattr(args, "grads_dtype", "float32"))
             # text-encoder grad clip (ref intent, clip_max_norm; module
             # docstring) lives in the encoder group's optimizer chain
-            # (optim._clip_global_norm) so it fuses with the flat update
+            # (optim._clip_global_norm, fp32-accumulated norm) so it fuses
+            # with the flat update
             updates, new_opt = self.tx.update(grads, state.opt_state,
                                               state.params)
             new_params = optax.apply_updates(state.params, updates)

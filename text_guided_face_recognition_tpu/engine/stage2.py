@@ -104,6 +104,8 @@ class FusionTrainer:
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (_, (new_stats, metrics)), grads = grad_fn(
                 state.params, state.batch_stats, batch, frozen_vars, rng)
+            grads = optim.cast_grads(
+                grads, getattr(self.args, "grads_dtype", "float32"))
             updates, new_opt = self.tx.update(grads, state.opt_state,
                                               state.params)
             new_params = optax.apply_updates(state.params, updates)

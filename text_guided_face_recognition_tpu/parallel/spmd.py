@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
+from text_guided_face_recognition_tpu.engine import optim
 from text_guided_face_recognition_tpu.engine.stage1 import TrainState
 
 __all__ = ["make_shardmap_train_step"]
@@ -55,6 +56,11 @@ def make_shardmap_train_step(trainer, mesh: Mesh, axis: str = "data"):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_img_stats, metrics)), grads = grad_fn(
             state.params, state.batch_stats, batch, frozen_vars, rng)
+        # cast BEFORE the collectives: with grads_dtype=bfloat16 the
+        # psum/pmean move half the ICI bytes (the 8-way sums are fine in
+        # bf16; the clip norm below still accumulates in fp32)
+        grads = optim.cast_grads(grads,
+                                 getattr(args, "grads_dtype", "float32"))
         grads = {
             k: (jax.lax.psum(v, axis) if k in pre_gather
                 else jax.lax.pmean(v, axis))
@@ -62,12 +68,14 @@ def make_shardmap_train_step(trainer, mesh: Mesh, axis: str = "data"):
         }
         if train_text:
             te = grads["text_encoder"]
-            gnorm = optax.global_norm(te)
+            gnorm = jnp.sqrt(sum(
+                jnp.sum(jnp.square(x.astype(jnp.float32)))
+                for x in jax.tree_util.tree_leaves(te)))
             scale = jnp.minimum(1.0, args.clip_max_norm /
                                 jnp.maximum(gnorm, 1e-6))
             grads = dict(grads)
             grads["text_encoder"] = jax.tree_util.tree_map(
-                lambda x: x * scale, te)
+                lambda x: x * scale.astype(x.dtype), te)
         updates, new_opt = trainer.tx.update(grads, state.opt_state,
                                              state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -104,6 +112,8 @@ def make_shardmap_fusion_step(trainer, mesh: Mesh, axis: str = "data"):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_stats, metrics)), grads = grad_fn(
             state.params, state.batch_stats, batch, frozen_vars, rng)
+        grads = optim.cast_grads(grads,
+                                 getattr(args, "grads_dtype", "float32"))
         grads = jax.lax.pmean(grads, axis)
         updates, new_opt = trainer.tx.update(grads, state.opt_state,
                                              state.params)

@@ -135,7 +135,7 @@ def main():
         state, metrics = trainer._train_step_fn(state, dev_batch, frozen, key)
         return state, metrics["total_loss"]
 
-    ks = (2, 6) if args_cli.cpu else (4, 24)
+    ks = (2, 6) if args_cli.cpu else (4, 44)
     ms = time_chained_steps(inner, trainer.state, trainer._dropout_key, ks=ks,
                             donate=False)
     compute_rate = B / (ms / 1000.0)

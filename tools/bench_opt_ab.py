@@ -63,7 +63,7 @@ def main():
     if args_cli.ks:
         ks = tuple(int(x) for x in args_cli.ks.split(","))
     else:
-        ks = (2, 6) if args_cli.cpu else (4, 24)
+        ks = (2, 6) if args_cli.cpu else (4, 44)
     B = args_cli.batch
     rng = np.random.default_rng(0)
     batch = {
@@ -91,6 +91,9 @@ def main():
             stack_max_elems=(32768 if "stackedsmall" in variant else 0),
             adam_moments_dtype=("bfloat16" if "bf16m" in variant
                                 else "float32"),
+            # "bf16g": bf16 grad tree at the jax.grad boundary
+            # (engine/optim.cast_grads) — halves dW/clip/Adam grad traffic
+            grads_dtype=("bfloat16" if "bf16g" in variant else "float32"),
             lazy_embedding_adam=("lazyemb" in variant))
         tr = Stage1Trainer(a)
 

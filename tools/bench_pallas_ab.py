@@ -52,7 +52,7 @@ def main():
     if args_cli.ks:
         ks = tuple(int(x) for x in args_cli.ks.split(","))
     else:
-        ks = (2, 6) if args_cli.cpu else (4, 24)
+        ks = (2, 6) if args_cli.cpu else (4, 44)
     rng = np.random.default_rng(0)
     key = jax.random.key(0, impl="rbg")  # match the default dropout PRNG
 

@@ -69,7 +69,7 @@ def main():
     if args_cli.ks:
         ks = tuple(int(x) for x in args_cli.ks.split(","))
     else:
-        ks = (2, 6) if args_cli.cpu else (4, 24)
+        ks = (2, 6) if args_cli.cpu else (4, 44)
 
     rng = np.random.default_rng(0)
     batch = {
@@ -90,6 +90,7 @@ def main():
             stack_max_elems=(32768 if "stackedsmall" in variant else 0),
             adam_moments_dtype=("bfloat16" if "bf16m" in variant
                                 else "float32"),
+            grads_dtype=("bfloat16" if "bf16g" in variant else "float32"),
             lazy_embedding_adam=("lazyemb" in variant))
         if is_lstm:
             a = a.replace(en_type="LSTM", lambda_clip=1.0)

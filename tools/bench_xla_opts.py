@@ -140,7 +140,7 @@ def main():
         return
 
     ks = (tuple(int(x) for x in args_cli.ks.split(","))
-          if args_cli.ks else (4, 24))
+          if args_cli.ks else (4, 44))
     B = args_cli.batch
     rng = np.random.default_rng(0)
 
