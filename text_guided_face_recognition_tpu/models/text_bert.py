@@ -24,6 +24,7 @@ tensor: models/models.py:197-213).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
@@ -34,7 +35,36 @@ from text_guided_face_recognition_tpu.models.layers import l2_normalize
 Dtype = Any
 
 __all__ = ["TextArch", "TEXT_ARCHS", "TransformerEncoder", "TextEncoder",
-           "BertWordMapping", "TextHeading"]
+           "BertWordMapping", "TextHeading", "FusedLayerNorm"]
+
+
+class FusedLayerNorm(nn.Module):
+    """Drop-in for nn.LayerNorm backed by the single-kernel Pallas LN
+    (ops/layernorm_pallas.py). Same param tree ('scale'/'bias', fp32) so
+    checkpoints are interchangeable with nn.LayerNorm. Stats in fp32 (like
+    nn.LayerNorm at fp32; nn.LayerNorm(dtype=bf16) keeps bf16 stats — the
+    delta is below bf16 resolution, tests/test_fused_ln.py)."""
+
+    epsilon: float = 1e-12
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from text_guided_face_recognition_tpu.ops.layernorm_pallas import (
+            layernorm_fused)
+        h = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (h,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (h,), jnp.float32)
+        import jax as _jax
+        interpret = _jax.default_backend() == "cpu"
+        return layernorm_fused(x.astype(self.dtype), scale, bias,
+                               float(self.epsilon), interpret)
+
+
+def _ln(fused: bool, eps: float, dtype, name: str):
+    if fused:
+        return FusedLayerNorm(epsilon=eps, dtype=dtype, name=name)
+    return nn.LayerNorm(epsilon=eps, dtype=dtype, name=name)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -128,6 +158,7 @@ class _SelfAttention(nn.Module):
 class _Block(nn.Module):
     arch: TextArch
     dtype: Dtype = jnp.float32
+    fused_ln: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
@@ -141,24 +172,21 @@ class _Block(nn.Module):
                                   name=name)(h)
             return h
 
+        ln = functools.partial(_ln, self.fused_ln, a.ln_eps, self.dtype)
         if a.style == "postln":
             h = _SelfAttention(a, self.dtype, name="attn")(x, mask,
                                                            deterministic)
-            x = nn.LayerNorm(epsilon=a.ln_eps, dtype=self.dtype,
-                             name="attn_ln")(x + drop(h, "attn_out_drop"))
+            x = ln("attn_ln")(x + drop(h, "attn_out_drop"))
             h = nn.Dense(a.intermediate, dtype=self.dtype, name="ffn_in")(x)
             h = act(h)
             h = nn.Dense(a.hidden, dtype=self.dtype, name="ffn_out")(h)
-            x = nn.LayerNorm(epsilon=a.ln_eps, dtype=self.dtype,
-                             name="ffn_ln")(x + drop(h, "ffn_drop"))
+            x = ln("ffn_ln")(x + drop(h, "ffn_drop"))
         else:  # preln (CLIP/ViT-style)
-            h = nn.LayerNorm(epsilon=a.ln_eps, dtype=self.dtype,
-                             name="attn_ln")(x)
+            h = ln("attn_ln")(x)
             h = _SelfAttention(a, self.dtype, name="attn")(h, mask,
                                                            deterministic)
             x = x + drop(h, "attn_out_drop")
-            h = nn.LayerNorm(epsilon=a.ln_eps, dtype=self.dtype,
-                             name="ffn_ln")(x)
+            h = ln("ffn_ln")(x)
             h = nn.Dense(a.intermediate, dtype=self.dtype, name="ffn_in")(h)
             h = act(h)
             h = nn.Dense(a.hidden, dtype=self.dtype, name="ffn_out")(h)
@@ -172,6 +200,7 @@ class TransformerEncoder(nn.Module):
 
     arch: TextArch
     dtype: Dtype = jnp.float32
+    fused_ln: bool = False
 
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
@@ -187,18 +216,16 @@ class TransformerEncoder(nn.Module):
             x = x + nn.Embed(a.type_vocab, a.hidden, dtype=self.dtype,
                              name="type_emb")(jnp.zeros_like(input_ids))
         if a.emb_ln:
-            x = nn.LayerNorm(epsilon=a.ln_eps, dtype=self.dtype,
-                             name="emb_ln")(x)
+            x = _ln(self.fused_ln, a.ln_eps, self.dtype, "emb_ln")(x)
         if a.dropout:
             x = nn.Dropout(a.dropout, deterministic=deterministic,
                            name="emb_drop")(x)
         mask = attention_mask.astype(bool)
         for i in range(a.layers):
-            x = _Block(a, self.dtype, name=f"layer_{i}")(x, mask,
-                                                         deterministic)
+            x = _Block(a, self.dtype, self.fused_ln,
+                       name=f"layer_{i}")(x, mask, deterministic)
         if a.final_ln:
-            x = nn.LayerNorm(epsilon=a.ln_eps, dtype=self.dtype,
-                             name="final_ln")(x)
+            x = _ln(self.fused_ln, a.ln_eps, self.dtype, "final_ln")(x)
         return x
 
 
@@ -209,12 +236,14 @@ class TextEncoder(nn.Module):
 
     bert_type: str = "bert"
     dtype: Dtype = jnp.float32
+    fused_ln: bool = False
 
     @nn.compact
     def __call__(self, captions: jnp.ndarray, mask: jnp.ndarray,
                  deterministic: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
         arch = TEXT_ARCHS[self.bert_type]
-        hidden = TransformerEncoder(arch, self.dtype, name="model")(
+        hidden = TransformerEncoder(arch, self.dtype, self.fused_ln,
+                                    name="model")(
             captions, mask, deterministic)
         sent_emb = hidden[:, 0, :]
         words_emb = hidden[:, 1:, :]

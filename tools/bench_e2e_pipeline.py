@@ -77,6 +77,22 @@ def build_corpus(root: str, n_train: int, n_eval: int = 64,
     open(done_marker, "w").close()
 
 
+def write_pair_lists(root: str, n_eval: int = 64) -> None:
+    """Verification pair lists ('img1 img2 label') for the valid/test splits
+    so Stage1Trainer's validation loader constructs (idempotent; kept outside
+    the corpus done-marker so older corpora pick them up)."""
+    for split in ("valid", "test"):
+        path = os.path.join(root, f"pairs_{split}.txt")
+        if os.path.exists(path):
+            continue
+        lines = []
+        for i in range(n_eval):
+            j = (i + 1) % n_eval
+            lines.append(f"{split}_{i:06d} {split}_{j:06d} {int(i % 2)}")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=2048)
@@ -99,6 +115,7 @@ def main():
 
     t0 = time.time()
     build_corpus(args_cli.corpus, args_cli.images)
+    write_pair_lists(args_cli.corpus)
     print(json.dumps({"corpus": args_cli.corpus,
                       "build_secs": round(time.time() - t0, 1)}))
 
@@ -112,6 +129,8 @@ def main():
         en_type="BERT", bert_type=args_cli.bert_type, synthetic=False,
         data_dir=args_cli.corpus, batch_size=B,
         num_workers=args_cli.num_workers, max_epoch=1,
+        valid_pair_list=os.path.join(args_cli.corpus, "pairs_valid.txt"),
+        test_pair_list=os.path.join(args_cli.corpus, "pairs_test.txt"),
         is_DAMSM=True, is_CLIP=True, is_ident_loss=True, num_classes=4500)
     trainer = Stage1Trainer(args)
 
@@ -143,6 +162,21 @@ def main():
                       "value": round(compute_rate, 1),
                       "ms_per_step": round(ms, 3)}))
 
+    # 2b. host->device upload rate of one training batch (on this machine
+    # the axon tunnel carries every batch; on a TPU-VM this is local DMA)
+    nbytes = sum(v.size * v.dtype.itemsize for v in first.values()
+                 if hasattr(v, "size"))
+    reps = 8
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        dev = jax.device_put({k: v for k, v in first.items() if k != "key"})
+        jax.block_until_ready(dev)
+    h2d_secs = (time.perf_counter() - t0) / reps
+    print(json.dumps({"metric": "h2d_batches_per_sec",
+                      "value": round(1.0 / h2d_secs, 2),
+                      "batch_mbytes": round(nbytes / 1e6, 2),
+                      "mbytes_per_sec": round(nbytes / 1e6 / h2d_secs, 1)}))
+
     # 3. the real epoch loop (loader + prefetch_to_device + async steps)
     e2e = None
     for epoch in range(1, args_cli.epochs + 1):
@@ -154,10 +188,12 @@ def main():
         "value": round(e2e, 1),
         "loader_bound": round(loader_rate, 1),
         "compute_bound": round(compute_rate, 1),
+        "h2d_bound": round(B / h2d_secs, 1),
         "tunnel_rpc_bound": round(rpc_bound, 1),
-        "note": ("tunnel-paced dispatch (~15ms RPC/step) caps e2e at "
-                 "min(loader, rpc) on this host; on a TPU-VM the cap is "
-                 "min(loader*cores, compute)"),
+        "note": ("e2e is capped by min(loader, h2d, rpc, compute); on this "
+                 "host the tunnel carries every batch upload, on a TPU-VM "
+                 "h2d is local DMA and the cap is min(loader*cores, "
+                 "compute)"),
     }))
 
 

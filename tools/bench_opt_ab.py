@@ -94,6 +94,8 @@ def main():
             # "bf16g": bf16 grad tree at the jax.grad boundary
             # (engine/optim.cast_grads) — halves dW/clip/Adam grad traffic
             grads_dtype=("bfloat16" if "bf16g" in variant else "float32"),
+            # "fusedln": single-kernel Pallas LayerNorm in the text tower
+            fused_ln=("fusedln" in variant),
             lazy_embedding_adam=("lazyemb" in variant))
         tr = Stage1Trainer(a)
 
