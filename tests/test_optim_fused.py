@@ -90,7 +90,8 @@ def test_encoder_clip_lives_in_tx_chain():
     group's optimizer chain. With lr=1 and plain-SGD-like comparison we
     check the clip scales a large encoder grad and leaves heads alone."""
     params = _tree()
-    args = TGFRConfig().replace(clip_max_norm=1.0, weight_decay=0.0)
+    args = TGFRConfig().replace(clip_max_norm=1.0, apply_grad_clip=True,
+                            weight_decay=0.0)
     for fused in (False, True):
         tx = optim.make_stage1_bert_tx(args.replace(fused_optimizer=fused))
         state = tx.init(params)
@@ -105,7 +106,7 @@ def test_encoder_clip_lives_in_tx_chain():
         # Adam normalizes magnitudes, so compare against the UNclipped run
         # via a clip_max_norm large enough to be inactive
         tx2 = optim.make_stage1_bert_tx(
-            args.replace(fused_optimizer=fused, clip_max_norm=1e9))
+            args.replace(fused_optimizer=fused, clip_max_norm=1e9))  # clip still on
         st2 = tx2.init(params)
         st2 = optim.set_lr(st2, "encoder", 1.0)
         st2 = optim.set_lr(st2, "head", 1.0)
@@ -158,7 +159,8 @@ def test_stacked_matches_multi_transform_stage1():
         f"l{i}": {"w": jax.random.normal(jax.random.PRNGKey(10 + i), (8, 8)),
                   "b": jnp.full((8,), 0.1 * i)}
         for i in range(4)}
-    base = TGFRConfig().replace(weight_decay=0.02, clip_max_norm=1.0)
+    base = TGFRConfig().replace(weight_decay=0.02, clip_max_norm=1.0,
+                                apply_grad_clip=True)
     p_ref, _ = _run_steps(optim.make_stage1_bert_tx(base), params)
     p_stk, st = _run_steps(optim.make_stage1_bert_tx(
         base.replace(stacked_optimizer=True)), params)
@@ -290,7 +292,7 @@ def test_lazy_embedding_adam_rows(monkeypatch):
     monkeypatch.setattr(optim, "EMB_MIN_ROWS", 16)
     params = _emb_tree(rows=32)
     touched = np.array([2, 5, 7, 19])
-    base = TGFRConfig().replace(weight_decay=0.02, clip_max_norm=1.0,
+    base = TGFRConfig().replace(weight_decay=0.02, clip_max_norm=1.0, apply_grad_clip=True,
                                 batch_size=8)  # _lazy_rows -> 256 >= 32 -> k=32
     tx_d = optim.make_stage1_bert_tx(base)
     tx_l = optim.make_stage1_bert_tx(base.replace(lazy_embedding_adam=True))
@@ -376,7 +378,8 @@ def test_bf16_grads_through_every_optimizer_path():
     fused paths against fp32 params/state, and stay close to the fp32-grad
     update (bf16 rounding of the grad leaves only)."""
     params = _tree()
-    base = TGFRConfig().replace(weight_decay=0.02, clip_max_norm=1.0)
+    base = TGFRConfig().replace(weight_decay=0.02, clip_max_norm=1.0,
+                            apply_grad_clip=True)
     ref, _ = _run_steps(optim.make_stage1_bert_tx(
         base.replace(stacked_optimizer=False)), params)
     for cfg in (base.replace(stacked_optimizer=False),

@@ -141,7 +141,8 @@ class TGFRConfig:
     r_step: int = 100
     lr_head: float = 1e-3
     weight_decay: float = 0.01
-    clip_max_norm: float = 1.0
+    clip_max_norm: float = 1.0             # norm used when apply_grad_clip is on (reference YAML field)
+    apply_grad_clip: bool = False          # False = reference BEHAVIOR (its clip_grad_norm_ runs after optimizer.step() - a no-op, DEVIATIONS #3) and saves the ~1.25 ms/step whole-tree norm pass; True = the reference comment's INTENT (pre-step text-encoder clip)
     lr_image_train: float = 0.1
     lr_step: int = 5
     gamma: float = 0.8

@@ -454,6 +454,20 @@ def _lazy_rows(args, words_field: str) -> int:
     return max(256, int(args.batch_size) * t)
 
 
+
+def _effective_clip(args) -> float:
+    """Reference BEHAVIOR is no clipping: clip_grad_norm_ runs AFTER the
+    optimizer steps in both stage-1 trainers (reference
+    src/train_encoders_bert.py:323-331, src/train_encoders_lstm.py:303-309)
+    — a no-op on already-consumed grads (DEVIATIONS #3). Default honors
+    that (and skips the ~1.25 ms/step whole-tree norm pass the clip costs
+    at B=32, docs/BENCHMARKS.md); `apply_grad_clip: true` restores the
+    comment's stated *intent* (pre-step clip by clip_max_norm)."""
+    if not getattr(args, "apply_grad_clip", False):
+        return 0.0
+    return float(getattr(args, "clip_max_norm", 0.0) or 0.0)
+
+
 def make_stage1_bert_tx(args) -> optax.GradientTransformation:
     """heads-Adam(0.5, 0.999) / encoder-Adam(0.9, 0.999, wd) / cls-SGD(0.1,
     m=0.9, wd=5e-5) — reference: src/train_encoders_bert.py:212-222."""
@@ -462,7 +476,7 @@ def make_stage1_bert_tx(args) -> optax.GradientTransformation:
         "head": _torch_adam(0.5, 0.999, moment_dtype=md),
         "encoder": _encoder_tx(args, _torch_adam(
             0.9, 0.999, weight_decay=args.weight_decay,
-            clip_norm=float(getattr(args, "clip_max_norm", 0.0) or 0.0),
+            clip_norm=_effective_clip(args),
             moment_dtype=md,
             lazy_emb_rows=_lazy_rows(args, "bert_words_num"))),
         "cls": _torch_sgd(momentum=0.9, weight_decay=5e-5),
@@ -477,7 +491,7 @@ def make_stage1_lstm_tx(args) -> optax.GradientTransformation:
         "head": _torch_adam(0.5, 0.999, moment_dtype=md),
         "encoder": _encoder_tx(args, _torch_adam(
             0.9, 0.5, weight_decay=args.weight_decay,
-            clip_norm=float(getattr(args, "clip_max_norm", 0.0) or 0.0),
+            clip_norm=_effective_clip(args),
             moment_dtype=md,
             lazy_emb_rows=_lazy_rows(args, "lstm_words_num"))),
         "cls": _torch_sgd(momentum=0.9, weight_decay=5e-5),

@@ -24,8 +24,10 @@ Reference quirks handled explicitly (see docs/DEVIATIONS.md):
     optimizers never receive gradients. Default here trains them (the
     documented intent); `compat_frozen_text=True` reproduces the reference.
   * the reference calls clip_grad_norm_ AFTER optimizer.step()
-    (src/train_encoders_bert.py:323-331) — a no-op; here clipping is applied
-    to the text-encoder gradients before the update when text is trainable.
+    (src/train_encoders_bert.py:323-331) — a no-op. Default matches that
+    behavior (no clip; the whole-tree norm pass costs ~1.25 ms/step);
+    `apply_grad_clip=True` applies the comment's intent (pre-step
+    text-encoder clip by clip_max_norm). DEVIATIONS #3.
 """
 
 from __future__ import annotations
@@ -181,10 +183,10 @@ class Stage1Trainer:
                 state.params, state.batch_stats, batch, frozen_vars, rng)
             grads = optim.cast_grads(grads,
                                      getattr(args, "grads_dtype", "float32"))
-            # text-encoder grad clip (ref intent, clip_max_norm; module
-            # docstring) lives in the encoder group's optimizer chain
-            # (optim._clip_global_norm, fp32-accumulated norm) so it fuses
-            # with the flat update
+            # optional text-encoder grad clip (apply_grad_clip; reference
+            # behavior is NO clip - DEVIATIONS #3) lives in the encoder
+            # group's optimizer chain (optim._clip_global_norm,
+            # fp32-accumulated norm) so it fuses with the flat update
             updates, new_opt = self.tx.update(grads, state.opt_state,
                                               state.params)
             new_params = optax.apply_updates(state.params, updates)

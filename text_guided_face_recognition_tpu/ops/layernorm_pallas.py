@@ -16,8 +16,15 @@ axis, stats in fp32 like flax nn.LayerNorm(dtype=bfloat16) (which upcasts
 for mean/var); backward matches jax.grad of the reference formula (parity
 tests in tests/test_fused_ln.py, interpret mode on CPU).
 
-Used by models/text_bert.py behind the `fused_ln` flag (config default
-documented with the measured A/B in docs/BENCHMARKS.md).
+Used by models/text_bert.py behind the `fused_ln` flag.
+
+MEASURED OUTCOME (r3, honest back-to-back chained-marginal inside the full
+stage-1 train step at B=32): 11.33 ms vs 11.02 ms base — NEGATIVE (-2.8%).
+The custom_vjp call boundary is opaque to XLA, which un-fuses the
+residual-add/LN glue the compiler was already fusing; that costs more than
+the saved stat/grad kernels at these tiny (768-token) shapes. `fused_ln`
+stays opt-in/off — this file remains as a verified-correct fused-kernel
+reference (tests/test_fused_ln.py: fwd, grads-vs-autodiff, module-swap).
 
 Reference semantics being accelerated: the LayerNorms inside the HF text
 towers the reference wraps (reference models/models.py:144-167 — torch

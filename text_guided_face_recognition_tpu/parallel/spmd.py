@@ -41,6 +41,8 @@ def make_shardmap_train_step(trainer, mesh: Mesh, axis: str = "data"):
     args = trainer.args
     loss_fn = trainer.build_loss_fn(axis_name=axis)
     train_text = not args.compat_frozen_text
+    clip_on = bool(getattr(args, "apply_grad_clip", False)) and \
+        float(getattr(args, "clip_max_norm", 0.0) or 0.0) > 0.0
 
     # Gradient reduction rule: the towers run BEFORE the all_gather, so each
     # shard's gradient covers only its local activations' contributions (the
@@ -66,7 +68,7 @@ def make_shardmap_train_step(trainer, mesh: Mesh, axis: str = "data"):
                 else jax.lax.pmean(v, axis))
             for k, v in grads.items()
         }
-        if train_text:
+        if train_text and clip_on:
             te = grads["text_encoder"]
             gnorm = jnp.sqrt(sum(
                 jnp.sum(jnp.square(x.astype(jnp.float32)))

@@ -96,6 +96,9 @@ def main():
             grads_dtype=("bfloat16" if "bf16g" in variant else "float32"),
             # "fusedln": single-kernel Pallas LayerNorm in the text tower
             fused_ln=("fusedln" in variant),
+            # "withclip": pre-step text-encoder grad clip (the r1/r2
+            # default; reference behavior is no clip, DEVIATIONS #3)
+            apply_grad_clip=("withclip" in variant),
             lazy_embedding_adam=("lazyemb" in variant))
         tr = Stage1Trainer(a)
 
