@@ -167,8 +167,10 @@ def prepare_text_encoder(args, load: bool = True
     (reference: utils/prepare.py:14-36)."""
     dtype = compute_dtype(args)
     if args.en_type == "BERT":
-        enc = M.TextEncoder(bert_type=args.bert_type, dtype=dtype,
-                            fused_ln=bool(getattr(args, "fused_ln", False)))
+        enc = M.TextEncoder(
+            bert_type=args.bert_type, dtype=dtype,
+            fused_ln=bool(getattr(args, "fused_ln", False)),
+            fused_dropout=bool(getattr(args, "fused_dropout", False)))
         ids = jnp.zeros((1, args.bert_words_num), jnp.int32)
         mask = jnp.ones((1, args.bert_words_num), jnp.int32)
         enc_vars = enc.init(_rng(), ids, mask)

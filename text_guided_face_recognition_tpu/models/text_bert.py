@@ -27,6 +27,7 @@ import dataclasses
 import functools
 from typing import Any, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -59,6 +60,40 @@ class FusedLayerNorm(nn.Module):
         interpret = _jax.default_backend() == "cpu"
         return layernorm_fused(x.astype(self.dtype), scale, bias,
                                float(self.epsilon), interpret)
+
+
+
+class _DropPlan:
+    """One-RNG-call dropout plan (config `fused_dropout`).
+
+    The production step otherwise issues ~37 independent RNG+mask kernel
+    groups (emb + 3 sites x 12 layers); this generates every site's random
+    bits with ONE jax.random.bits call per step and hands each site a slice
+    (static offsets), so XLA fuses slice+compare+select into the consumers.
+    Mask VALUES carry no parity constraint (torch masks differ anyway) —
+    only the keep-probability semantics, which are identical."""
+
+    def __init__(self, bits, rate: float):
+        self.bits = bits
+        self.rate = float(rate)
+        self.ofs = 0
+        # keep iff bits >= threshold: P(keep) = 1 - rate exactly in u32 space
+        self.threshold = jnp.uint32(min(int(round(rate * (1 << 32))),
+                                        (1 << 32) - 1))
+
+    @staticmethod
+    def total_elems(a: "TextArch", b: int, t: int) -> int:
+        per_layer = b * a.heads * t * t + 2 * b * t * a.hidden
+        return b * t * a.hidden + a.layers * per_layer  # emb + layers
+
+    def take(self, x: jnp.ndarray) -> jnp.ndarray:
+        n = int(x.size)
+        sl = jax.lax.dynamic_slice_in_dim(self.bits, self.ofs, n)
+        self.ofs += n
+        keep = (sl.reshape(x.shape) >= self.threshold)
+        scale = 1.0 / (1.0 - self.rate)
+        return jnp.where(keep, x * jnp.asarray(scale, x.dtype),
+                         jnp.zeros((), x.dtype))
 
 
 def _ln(fused: bool, eps: float, dtype, name: str):
@@ -124,7 +159,7 @@ class _SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: bool = True, drop_plan=None) -> jnp.ndarray:
         a = self.arch
         d_head = a.hidden // a.heads
         b, t, _ = x.shape
@@ -146,7 +181,9 @@ class _SelfAttention(nn.Module):
             score = jnp.where(causal[None, None], score, neg)
         score = jnp.where(att_mask, score, neg)
         probs = nn.softmax(score, axis=-1).astype(self.dtype)
-        if a.dropout:
+        if a.dropout and drop_plan is not None:
+            probs = drop_plan.take(probs)
+        elif a.dropout:
             probs = nn.Dropout(a.dropout, deterministic=deterministic,
                                name="attn_drop")(probs)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
@@ -162,11 +199,13 @@ class _Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: bool = True, drop_plan=None) -> jnp.ndarray:
         a = self.arch
         act = _act(a.act)
 
         def drop(h, name):
+            if a.dropout and drop_plan is not None:
+                return drop_plan.take(h)
             if a.dropout:
                 return nn.Dropout(a.dropout, deterministic=deterministic,
                                   name=name)(h)
@@ -175,7 +214,8 @@ class _Block(nn.Module):
         ln = functools.partial(_ln, self.fused_ln, a.ln_eps, self.dtype)
         if a.style == "postln":
             h = _SelfAttention(a, self.dtype, name="attn")(x, mask,
-                                                           deterministic)
+                                                           deterministic,
+                                                           drop_plan)
             x = ln("attn_ln")(x + drop(h, "attn_out_drop"))
             h = nn.Dense(a.intermediate, dtype=self.dtype, name="ffn_in")(x)
             h = act(h)
@@ -184,7 +224,8 @@ class _Block(nn.Module):
         else:  # preln (CLIP/ViT-style)
             h = ln("attn_ln")(x)
             h = _SelfAttention(a, self.dtype, name="attn")(h, mask,
-                                                           deterministic)
+                                                           deterministic,
+                                                           drop_plan)
             x = x + drop(h, "attn_out_drop")
             h = ln("ffn_ln")(x)
             h = nn.Dense(a.intermediate, dtype=self.dtype, name="ffn_in")(h)
@@ -201,12 +242,19 @@ class TransformerEncoder(nn.Module):
     arch: TextArch
     dtype: Dtype = jnp.float32
     fused_ln: bool = False
+    fused_dropout: bool = False
 
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
         a = self.arch
         b, t = input_ids.shape
+        plan = None
+        if self.fused_dropout and a.dropout and not deterministic:
+            bits = jax.random.bits(self.make_rng("dropout"),
+                                   (_DropPlan.total_elems(a, b, t),),
+                                   jnp.uint32)
+            plan = _DropPlan(bits, a.dropout)
         x = nn.Embed(a.vocab_size, a.hidden, dtype=self.dtype,
                      name="tok_emb")(input_ids)
         pos = jnp.arange(t)[None, :]
@@ -217,13 +265,15 @@ class TransformerEncoder(nn.Module):
                              name="type_emb")(jnp.zeros_like(input_ids))
         if a.emb_ln:
             x = _ln(self.fused_ln, a.ln_eps, self.dtype, "emb_ln")(x)
-        if a.dropout:
+        if a.dropout and plan is not None:
+            x = plan.take(x)
+        elif a.dropout:
             x = nn.Dropout(a.dropout, deterministic=deterministic,
                            name="emb_drop")(x)
         mask = attention_mask.astype(bool)
         for i in range(a.layers):
             x = _Block(a, self.dtype, self.fused_ln,
-                       name=f"layer_{i}")(x, mask, deterministic)
+                       name=f"layer_{i}")(x, mask, deterministic, plan)
         if a.final_ln:
             x = _ln(self.fused_ln, a.ln_eps, self.dtype, "final_ln")(x)
         return x
@@ -237,13 +287,14 @@ class TextEncoder(nn.Module):
     bert_type: str = "bert"
     dtype: Dtype = jnp.float32
     fused_ln: bool = False
+    fused_dropout: bool = False
 
     @nn.compact
     def __call__(self, captions: jnp.ndarray, mask: jnp.ndarray,
                  deterministic: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
         arch = TEXT_ARCHS[self.bert_type]
         hidden = TransformerEncoder(arch, self.dtype, self.fused_ln,
-                                    name="model")(
+                                    self.fused_dropout, name="model")(
             captions, mask, deterministic)
         sent_emb = hidden[:, 0, :]
         words_emb = hidden[:, 1:, :]

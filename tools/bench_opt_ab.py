@@ -99,6 +99,8 @@ def main():
             # "withclip": pre-step text-encoder grad clip (the r1/r2
             # default; reference behavior is no clip, DEVIATIONS #3)
             apply_grad_clip=("withclip" in variant),
+            # "fuseddrop": one-RNG-call dropout plan for the text tower
+            fused_dropout=("fuseddrop" in variant),
             lazy_embedding_adam=("lazyemb" in variant))
         tr = Stage1Trainer(a)
 

@@ -91,6 +91,7 @@ def main():
             adam_moments_dtype=("bfloat16" if "bf16m" in variant
                                 else "float32"),
             grads_dtype=("bfloat16" if "bf16g" in variant else "float32"),
+            apply_grad_clip=("withclip" in variant),
             lazy_embedding_adam=("lazyemb" in variant))
         if is_lstm:
             a = a.replace(en_type="LSTM", lambda_clip=1.0)
