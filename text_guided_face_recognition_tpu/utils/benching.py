@@ -123,14 +123,18 @@ def time_chained_steps(inner, state, key,
     assert len(ks) == 2 and ks[1] > ks[0]
     run = chain_steps(inner, donate=donate, compiler_options=compiler_options)
     state, last = run(state, key, ks[0])             # compile + warm
-    jax.block_until_ready(last)
+    float(last)
     totals = []
     for k in ks:
         samples = []
         for _ in range(max(1, repeats)):
             t0 = time.perf_counter()
             state, last = run(state, key, k)
-            jax.block_until_ready(last)
+            # VALUE fetch, not block_until_ready: through the tunnel,
+            # readiness can resolve before a chained execution retires
+            # (observed as a degenerate ~0 marginal); a device->host read
+            # of the final scalar cannot.
+            float(last)
             samples.append(time.perf_counter() - t0)
         samples.sort()
         totals.append(samples[len(samples) // 2])
@@ -171,14 +175,14 @@ def time_chained_forward(fwd: Callable[..., Any], args: Tuple,
         return s
 
     s = run(first, rest, ks[0])                      # compile + warm
-    jax.block_until_ready(s)
+    float(s)
     totals = []
     for k in ks:
         samples = []
         for _ in range(max(1, repeats)):
             t0 = time.perf_counter()
             s = run(first, rest, k)
-            jax.block_until_ready(s)
+            float(s)  # VALUE fetch — see time_chained_steps
             samples.append(time.perf_counter() - t0)
         samples.sort()
         totals.append(samples[len(samples) // 2])
