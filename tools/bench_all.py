@@ -117,12 +117,20 @@ def main():
     def fwd_img_first(img1_, variables_, img2_, ids1_, ids2_, mask1_, mask2_):
         return fwd(variables_, img1_, img2_, ids1_, ids2_, mask1_, mask2_)
 
-    ms = time_chained_forward(
-        fwd_img_first, (img1, variables, img2, ids1, ids2, mask1, mask2),
-        ks=ks)
-    results.append({"metric": "verification_forward",
-                    "value": round(img1.shape[0] / ms * 1000.0, 1),
-                    "unit": "pairs/s/chip", "ms_per_step": round(ms, 3)})
+    def tile(x, n):
+        return jnp.tile(x, (n,) + (1,) * (x.ndim - 1))
+
+    # entry() batch (8 pairs) + the measured eval recommendation (256 pairs,
+    # +65% throughput — docs/BENCHMARKS.md verification-forward sweep)
+    for mult in (1, 32):
+        args_f = (tile(img1, mult), variables, tile(img2, mult),
+                  tile(ids1, mult), tile(ids2, mult), tile(mask1, mult),
+                  tile(mask2, mult))
+        ms = time_chained_forward(fwd_img_first, args_f, ks=ks)
+        b_eval = img1.shape[0] * mult
+        results.append({"metric": f"verification_forward_b{b_eval}",
+                        "value": round(b_eval / ms * 1000.0, 1),
+                        "unit": "pairs/s/chip", "ms_per_step": round(ms, 3)})
 
     for r in results:
         print(json.dumps(r))
