@@ -7,11 +7,19 @@ metric) with the full matrix from BASELINE.json's config list:
   * stage-2 FCFM-BERT step    (batch 16, cfg/fusion_bert.yml) + 32/64 sweep
   * fused verification forward (test.py path, batch 32 pairs)
 
-All timings use the scan-chained single-dispatch methodology
-(utils/benching.py) — multi-dispatch async loops under-report through the
-TPU tunnel (docs/BENCHMARKS.md "Methodology").
+All timings use the chained single-dispatch methodology (utils/benching.py)
+— multi-dispatch async loops under-report through the TPU tunnel
+(docs/BENCHMARKS.md "Methodology").
 
-Usage: python tools/bench_all.py [--cpu] [--ks 4,24]
+CAVEAT (r3, measured): this tool runs the WHOLE matrix in one long-lived
+process, and later rows inherit a churned host (compile-cache writes, GC) —
+a slow-biased t(k_small) once shrank the stage-2 B=16 marginal to 2.93 ms
+vs the 5.84-5.99 ms a dedicated process reproduces 3x. Treat this matrix as
+indicative; adoption-grade numbers come from the per-measurement tools
+(bench.py, tools/bench_opt_ab.py, tools/bench_stage_ab.py) run one
+measurement per process on an idle host.
+
+Usage: python tools/bench_all.py [--cpu] [--ks 4,44]
 """
 
 from __future__ import annotations
