@@ -127,9 +127,13 @@ void resize_bilinear(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw,
 
 constexpr int kFlagTrainAug = 1;  // grayscale p=.2 + hflip p=.5
 constexpr int kFlagBGR = 2;       // adaface channel permute
+constexpr int kFlagU8Out = 4;     // write augmented uint8 RGB (normalize and
+                                  // the BGR permute then run on-device:
+                                  // ops/images.device_normalize)
 
-// Process one image end to end into out (H*W*3 float32, [-1, 1]).
-bool process_one(const char* path, int out_h, int out_w, float* out,
+// Process one image end to end into out: H*W*3 float32 [-1, 1], or with
+// kFlagU8Out H*W*3 uint8 RGB (augmented, not normalized).
+bool process_one(const char* path, int out_h, int out_w, void* out_v,
                  uint64_t seed, int flags) {
   std::vector<uint8_t> rgb;
   int w = 0, h = 0;
@@ -145,6 +149,9 @@ bool process_one(const char* path, int out_h, int out_w, float* out,
     flip = uniform01(s) < 0.5;  // RandomHorizontalFlip(p=0.5)
   }
   const bool bgr = flags & kFlagBGR;
+  const bool u8 = flags & kFlagU8Out;
+  float* outf = u8 ? nullptr : static_cast<float*>(out_v);
+  uint8_t* out8 = u8 ? static_cast<uint8_t*>(out_v) : nullptr;
 
   for (int y = 0; y < out_h; ++y) {
     for (int x = 0; x < out_w; ++x) {
@@ -156,7 +163,14 @@ bool process_one(const char* path, int out_h, int out_w, float* out,
         float l = roundf(0.299f * r + 0.587f * g + 0.114f * b);
         r = g = b = l;
       }
-      float* o = &out[(size_t(y) * out_w + x) * 3];
+      if (u8) {
+        // augmented RGB; normalize + the BGR permute run on-device with
+        // identical math (ops/images.device_normalize)
+        uint8_t* o = &out8[(size_t(y) * out_w + x) * 3];
+        o[0] = (uint8_t)r; o[1] = (uint8_t)g; o[2] = (uint8_t)b;
+        continue;
+      }
+      float* o = &outf[(size_t(y) * out_w + x) * 3];
       float c0 = r / 255.0f * 2.0f - 1.0f;
       float c1 = g / 255.0f * 2.0f - 1.0f;
       float c2 = b / 255.0f * 2.0f - 1.0f;

@@ -212,6 +212,9 @@ class TGFRConfig:
     prng_impl: str = "rbg"                 # dropout-mask PRNG ("rbg" | "threefry2x32"); threefry costs ~14% of the stage-1 step
     xla_opts: str = "none"                 # XLA compiler-option preset for the jitted stage-1 train step (utils/xla_opts.py; TPU-only). The r3 "allsched +12%" adoption did NOT survive a robust re-measure (11.05 vs 11.07 ms back-to-back — the original delta was two-sided marginal-timing noise, utils/benching.py docstring), so the default is back to compiler defaults
     xla_opts_stage2: str = "none"          # same for the stage-2 fusion step (always measured neutral-to-negative there)
+    frozen_feature_cache: bool = False     # per-epoch precompute of the frozen backbone over the train set (engine/feature_cache.py): the conv tower leaves the train step; exact augmentation semantics (the cache re-derives each sample's counter-based RNG). A/B in docs/BENCHMARKS.md
+    feature_cache_batch: int = 256         # precompute forward batch (one static padded shape -> one compile)
+    uint8_images: bool = False             # ship images to the device as augmented uint8 RGB and normalize on-chip (ops/images.device_normalize): 4x less h2d than float32, identical values
 
     # Anything else found in a YAML lands here and is still attribute-accessible.
     extras: Dict[str, Any] = field(default_factory=dict)

@@ -260,6 +260,9 @@ class TrainDataset(_DatasetBase):
         # deterministic for a given seed, fresh every epoch.
         self.seed = seed
         self._visits: Dict[int, int] = {}
+        # frozen-backbone feature cache (engine/feature_cache.py): when set,
+        # __getitem__ returns precomputed (gl, lc) instead of the image
+        self._feature_cache: Optional[Dict[str, np.ndarray]] = None
 
     def _synthetic_class_ids(self, args) -> List[int]:
         n = len(self.filenames)
@@ -268,11 +271,9 @@ class TrainDataset(_DatasetBase):
     def __len__(self) -> int:
         return len(self.filenames)
 
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+    def _produce_image(self, index: int,
+                       rng: np.random.Generator) -> np.ndarray:
         key = self.filenames[index]
-        cls_id = self.class_id[index]
-        visit = self._visits[index] = self._visits.get(index, -1) + 1
-        rng = np.random.default_rng((self.seed, index, visit))
         img = None
         if self.transform is None and not self.synthetic:
             path = os.path.join(self.data_dir, "images", self.split,
@@ -284,6 +285,47 @@ class TrainDataset(_DatasetBase):
                 img = self.transform(raw)
             else:
                 img = train_transform(raw, rng, self.model_type)
+        return img
+
+    def _consume_aug_draws(self, rng: np.random.Generator) -> None:
+        """Advance `rng` exactly as _produce_image would, without producing
+        the image, so the caption draws that follow stay identical in
+        feature-cache mode. (The one divergence: a corrupt file on the
+        native path consumes 1 seed draw before falling back to PIL's 2 —
+        feature-cache mode assumes decodable images.)"""
+        if self.transform is not None:
+            return  # custom transforms take no rng
+        if not self.synthetic and self._native_ok():
+            rng.integers(0, 2 ** 63)  # _load_transformed's per-image seed
+        else:
+            rng.random()              # train_transform: RandomGrayscale
+            rng.random()              # train_transform: RandomHorizontalFlip
+
+    def peek_augmented_image(self, index: int) -> np.ndarray:
+        """The image __getitem__ would produce at this index's NEXT visit,
+        WITHOUT advancing the visit counter (feature-cache precompute:
+        engine/feature_cache.py refreshes before each epoch's loader pass)."""
+        visit = self._visits.get(index, -1) + 1
+        rng = np.random.default_rng((self.seed, index, visit))
+        return self._produce_image(index, rng)
+
+    def set_feature_cache(self,
+                          cache: Optional[Dict[str, np.ndarray]]) -> None:
+        """cache: {"gl": (N, ...), "lc": (N, ...)} frozen-backbone outputs
+        aligned with dataset indices (None disables)."""
+        self._feature_cache = cache
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        key = self.filenames[index]
+        cls_id = self.class_id[index]
+        visit = self._visits[index] = self._visits.get(index, -1) + 1
+        rng = np.random.default_rng((self.seed, index, visit))
+        if self._feature_cache is not None:
+            self._consume_aug_draws(rng)
+            sample = {"img_gl": self._feature_cache["gl"][index],
+                      "img_lc": self._feature_cache["lc"][index]}
+        else:
+            sample = {"img": self._produce_image(index, rng)}
 
         sent_ix = int(rng.integers(0, self.embeddings_num))
         new_sent_ix = index * self.embeddings_num + sent_ix
@@ -291,14 +333,16 @@ class TrainDataset(_DatasetBase):
         if self.en_type == "BERT":
             # reference bug: uses sent_ix instead of new_sent_ix (:77-82)
             cap_index = sent_ix if self.compat_bug else new_sent_ix
-            return {"img": img,
-                    "caps": _as_numpy_caption(self.captions[cap_index]),
-                    "mask": _as_numpy_caption(self.att_masks[cap_index]),
-                    "key": key, "cls_id": np.int32(cls_id)}
+            sample.update(
+                caps=_as_numpy_caption(self.captions[cap_index]),
+                mask=_as_numpy_caption(self.att_masks[cap_index]),
+                key=key, cls_id=np.int32(cls_id))
+            return sample
         caps, cap_len = self.pad_lstm_caption(self.captions[new_sent_ix],
                                               rng)
-        return {"img": img, "caps": caps, "cap_len": np.int32(cap_len),
-                "key": key, "cls_id": np.int32(cls_id)}
+        sample.update(caps=caps, cap_len=np.int32(cap_len),
+                      key=key, cls_id=np.int32(cls_id))
+        return sample
 
 
 class TestDataset(_DatasetBase):

@@ -16,7 +16,8 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["train_transform", "eval_transform", "decode_image"]
+__all__ = ["train_transform", "train_aug_u8", "eval_transform",
+           "decode_image"]
 
 _LUMA = np.asarray([0.299, 0.587, 0.114], np.float32)  # ITU-R 601-2 (PIL L)
 
@@ -30,15 +31,22 @@ def _to_bgr(img: np.ndarray) -> np.ndarray:
     return img[..., ::-1]
 
 
-def train_transform(img: np.ndarray, rng: np.random.Generator,
-                    model_type: str = "arcface") -> np.ndarray:
-    """img: uint8 (H, W, 3) RGB -> float32 (H, W, 3) in [-1, 1]."""
+def train_aug_u8(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """The augmentation half of train_transform: uint8 RGB -> uint8 RGB.
+    uint8_images mode ships this to the device (4x less h2d than float32)
+    and normalizes on-chip (ops/images.device_normalize — same math)."""
     if rng.random() < 0.2:  # RandomGrayscale(p=0.2)
         gray = (img.astype(np.float32) @ _LUMA)
         img = np.repeat(np.round(gray)[..., None], 3, axis=-1).astype(np.uint8)
     if rng.random() < 0.5:  # RandomHorizontalFlip(p=0.5)
         img = img[:, ::-1, :]
-    out = _normalize(img)
+    return np.ascontiguousarray(img)
+
+
+def train_transform(img: np.ndarray, rng: np.random.Generator,
+                    model_type: str = "arcface") -> np.ndarray:
+    """img: uint8 (H, W, 3) RGB -> float32 (H, W, 3) in [-1, 1]."""
+    out = _normalize(train_aug_u8(img, rng))
     if model_type == "adaface":
         out = _to_bgr(out)
     return np.ascontiguousarray(out)

@@ -45,6 +45,9 @@ from text_guided_face_recognition_tpu.engine import optim
 from text_guided_face_recognition_tpu.engine import prepare as prep
 from text_guided_face_recognition_tpu.engine.checkpoint import save_checkpoint
 from text_guided_face_recognition_tpu.engine.evaluate import validate_concat
+from text_guided_face_recognition_tpu.engine.feature_cache import (
+    FrozenFeatureCache,
+)
 from text_guided_face_recognition_tpu.parallel import (
     make_data_mesh,
     prefetch_to_device,
@@ -124,6 +127,12 @@ class Stage1Trainer:
 
         self.mesh = make_data_mesh(args.num_devices, args.batch_size)
         self._train_step = self._build_train_step()
+        # per-epoch frozen-backbone precompute (engine/feature_cache.py):
+        # the conv tower leaves the train step; exact-semantics A/B in
+        # docs/BENCHMARKS.md
+        self._feat_cache = (FrozenFeatureCache(self.backbone, args)
+                            if getattr(args, "frozen_feature_cache", False)
+                            else None)
         self.start_epoch = 1
         # dropout-mask PRNG: rbg (hardware RNG) by default — threefry is
         # ALU-heavy on TPU and cost ~14% of the stage-1 step (A/B in
@@ -223,7 +232,10 @@ class Stage1Trainer:
 
             words_emb, sent_emb, word_mask = self._text_forward(
                 params, batch, rng)
-            gl, lc = self._image_forward(frozen_vars, batch["img"])
+            if "img_gl" in batch:  # frozen_feature_cache: precomputed tower
+                gl, lc = batch["img_gl"], batch["img_lc"]
+            else:
+                gl, lc = self._image_forward(frozen_vars, batch["img"])
             (img_f, words_f), updates = self.image_head.module.apply(
                 {"params": params["image_head"],
                  "batch_stats": batch_stats["image_head"]},
@@ -324,8 +336,10 @@ class Stage1Trainer:
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         args = self.args
         n = 0
-        t0 = time.time()
+        t0 = time.time()  # refresh stays inside the timed window (honesty)
         frozen = self.backbone.variables
+        if self._feat_cache is not None:
+            self._feat_cache.refresh(self.train_ds, frozen)
         acc = None
         for device_batch in prefetch_to_device(self.train_dl, self.mesh,
                                                drop_keys=("key",)):

@@ -14,6 +14,9 @@ from text_guided_face_recognition_tpu.ops.losses import (  # noqa: F401
     sent_loss,
     words_loss,
 )
+from text_guided_face_recognition_tpu.ops.images import (  # noqa: F401
+    device_normalize,
+)
 from text_guided_face_recognition_tpu.ops.margins import (  # noqa: F401
     add_margin_logits,
     arc_margin_logits,
