@@ -189,24 +189,27 @@ bool process_one(const char* path, int out_h, int out_w, void* out_v,
 extern "C" {
 
 // Decode+transform a batch. Returns the number of FAILED images (0 = success).
-// paths: n C strings; out: n*out_h*out_w*3 floats; seeds: n per-image RNG
-// seeds (only read when flags & 1); n_threads <= 0 picks hardware threads.
+// paths: n C strings; out: n*out_h*out_w*3 floats (or uint8s with flags & 4);
+// seeds: n per-image RNG seeds (only read when flags & 1); n_threads <= 0
+// picks hardware threads.
 int tgfr_decode_batch(const char** paths, int n, int out_h, int out_w,
-                      float* out, const uint64_t* seeds, int flags,
+                      void* out, const uint64_t* seeds, int flags,
                       int n_threads) {
   if (n <= 0) return 0;
   if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
   if (n_threads > n) n_threads = n;
 
+  const size_t elem = (flags & kFlagU8Out) ? sizeof(uint8_t) : sizeof(float);
+  const size_t img_bytes = size_t(out_h) * out_w * 3 * elem;
   std::atomic<int> next(0), failures(0);
   auto worker = [&]() {
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) return;
       uint64_t seed = seeds ? seeds[i] : 0;
-      float* dst = out + size_t(i) * out_h * out_w * 3;
+      void* dst = static_cast<char*>(out) + size_t(i) * img_bytes;
       if (!process_one(paths[i], out_h, out_w, dst, seed, flags)) {
-        memset(dst, 0, size_t(out_h) * out_w * 3 * sizeof(float));
+        memset(dst, 0, img_bytes);
         failures.fetch_add(1);
       }
     }
@@ -217,6 +220,7 @@ int tgfr_decode_batch(const char** paths, int n, int out_h, int out_w,
   return failures.load();
 }
 
-int tgfr_dataio_version() { return 1; }
+// v2: kFlagU8Out (uint8-on-the-wire mode)
+int tgfr_dataio_version() { return 2; }
 
 }  // extern "C"

@@ -46,10 +46,12 @@ def main():
         ds = TrainDataset(names, base_ds.captions, base_ds.att_masks,
                           vocab=base_ds.vocab, args=args, split=known.split,
                           synthetic=base_ds.synthetic, seed=0)
-        ds.rng = np.random.default_rng(0)
         ds.embeddings_num = args.captions_per_image
-        dl = DataLoader(ds, batch_size=args.batch_size, shuffle=False,
-                        drop_last=False, num_workers=args.num_workers)
+    # serving embeddings are deterministic: eval transform, first caption
+    ds.augment = False
+    ds.fixed_sent_ix = 0
+    dl = DataLoader(ds, batch_size=args.batch_size, shuffle=False,
+                    drop_last=False, num_workers=args.num_workers)
 
     text_encoder, text_head = prep.prepare_text_encoder(args)
     backbone = prep.prepare_backbone(args)
@@ -63,10 +65,11 @@ def main():
     def embed(img, caps, extra_in):
         th_mod = text_head.module if text_head is not None else None
         th_par = text_head.variables["params"] if text_head is not None else None
-        w, s = _encode_text(args, text_encoder.module,
+        w, s = _encode_text(args.en_type, text_encoder.module,
                             text_encoder.variables["params"], th_mod, th_par,
                             caps, extra_in)
-        g, l = _backbone_feats(args, backbone, backbone.variables, img)
+        g, l = _backbone_feats(args.model_type, backbone.module,
+                               backbone.variables, img)
         p, q = image_head.module.apply(image_head.variables, g, l, train=False)
         if args.fusion_type == "concat":
             return jnp.concatenate([p, s], axis=1)

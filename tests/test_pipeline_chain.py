@@ -111,3 +111,27 @@ def test_bert_fcfm_checkpoint_handoff(tmp_path):
         np.testing.assert_allclose(a, b, err_msg=name)
     m = tr2.train_epoch(1)
     assert np.isfinite(m["loss"])
+
+
+def test_extract_embeddings_cli_deterministic(tmp_path):
+    """Serving entry point (src/extract_embeddings.py): runs end-to-end on
+    synthetic data and is deterministic (eval transform + pinned caption) —
+    regression for the r3 _backbone_feats signature breakage."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    runs = []
+    for i in range(2):
+        out = tmp_path / f"emb{i}.npz"
+        r = subprocess.run(
+            [sys.executable, "src/extract_embeddings.py", "--cfg",
+             "cfg/test.yml", "--synthetic", "--cpu", "--bert_type",
+             "groupvit", "--out", str(out)],
+            cwd=repo, capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, r.stderr[-2000:]
+        runs.append(np.load(out))
+    assert runs[0]["embeddings"].shape[0] > 0
+    np.testing.assert_array_equal(runs[0]["embeddings"],
+                                  runs[1]["embeddings"])
+    np.testing.assert_array_equal(runs[0]["keys"], runs[1]["keys"])

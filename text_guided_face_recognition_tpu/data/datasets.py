@@ -39,6 +39,7 @@ from text_guided_face_recognition_tpu.data.tokenizers import (
 from text_guided_face_recognition_tpu.data.transforms import (
     decode_image,
     eval_transform,
+    train_aug_u8,
     train_transform,
 )
 
@@ -173,11 +174,14 @@ def _synthetic_image(key: str, img_size: int) -> np.ndarray:
 
 class _DatasetBase:
     use_native: bool = True  # fused C++ decode+transform when available
+    uint8_images: bool = False  # ship augmented uint8; device normalizes
 
     def _native_ok(self) -> bool:
         if not self.use_native or self.synthetic:
             return False
         from text_guided_face_recognition_tpu.data import native
+        if self.uint8_images:
+            return native.supports_u8()  # a v1 .so can't emit uint8
         return native.available()
 
     def _load_transformed(self, path: str, train: bool,
@@ -194,7 +198,7 @@ class _DatasetBase:
             return native.decode_batch(
                 [path], self.img_size, self.img_size, seeds=seeds,
                 train_aug=train, bgr=self.model_type == "adaface",
-                n_threads=1)[0]
+                n_threads=1, u8_out=self.uint8_images)[0]
         except Exception:
             return None
 
@@ -242,6 +246,7 @@ class TrainDataset(_DatasetBase):
         self.en_type = args.en_type
         self.model_type = args.model_type
         self.img_size = args.img_size
+        self.uint8_images = bool(getattr(args, "uint8_images", False))
         self.word_num = (args.bert_words_num if args.en_type == "BERT"
                          else args.lstm_words_num)
         self.compat_bug = bool(getattr(args, "compat_bert_caption_bug", False))
@@ -263,6 +268,10 @@ class TrainDataset(_DatasetBase):
         # frozen-backbone feature cache (engine/feature_cache.py): when set,
         # __getitem__ returns precomputed (gl, lc) instead of the image
         self._feature_cache: Optional[Dict[str, np.ndarray]] = None
+        # serving knobs (src/extract_embeddings.py): disable train-time
+        # augmentation / pin the caption index for deterministic embeddings
+        self.augment: bool = True
+        self.fixed_sent_ix: Optional[int] = None
 
     def _synthetic_class_ids(self, args) -> List[int]:
         n = len(self.filenames)
@@ -278,11 +287,16 @@ class TrainDataset(_DatasetBase):
         if self.transform is None and not self.synthetic:
             path = os.path.join(self.data_dir, "images", self.split,
                                 key + ".jpg")
-            img = self._load_transformed(path, train=True, rng=rng)
+            img = self._load_transformed(path, train=self.augment, rng=rng)
         if img is None:
             raw = self._get_image(key, self.split)
             if self.transform is not None:
                 img = self.transform(raw)
+            elif not self.augment:
+                img = (np.ascontiguousarray(raw) if self.uint8_images
+                       else eval_transform(raw, self.model_type))
+            elif self.uint8_images:
+                img = train_aug_u8(raw, rng)
             else:
                 img = train_transform(raw, rng, self.model_type)
         return img
@@ -293,8 +307,8 @@ class TrainDataset(_DatasetBase):
         feature-cache mode. (The one divergence: a corrupt file on the
         native path consumes 1 seed draw before falling back to PIL's 2 —
         feature-cache mode assumes decodable images.)"""
-        if self.transform is not None:
-            return  # custom transforms take no rng
+        if self.transform is not None or not self.augment:
+            return  # custom transforms / eval path take no rng
         if not self.synthetic and self._native_ok():
             rng.integers(0, 2 ** 63)  # _load_transformed's per-image seed
         else:
@@ -327,7 +341,8 @@ class TrainDataset(_DatasetBase):
         else:
             sample = {"img": self._produce_image(index, rng)}
 
-        sent_ix = int(rng.integers(0, self.embeddings_num))
+        sent_ix = (self.fixed_sent_ix if self.fixed_sent_ix is not None
+                   else int(rng.integers(0, self.embeddings_num)))
         new_sent_ix = index * self.embeddings_num + sent_ix
 
         if self.en_type == "BERT":
@@ -368,6 +383,7 @@ class TestDataset(_DatasetBase):
         self.en_type = args.en_type
         self.model_type = args.model_type
         self.img_size = args.img_size
+        self.uint8_images = bool(getattr(args, "uint8_images", False))
         self.word_num = (args.bert_words_num if args.en_type == "BERT"
                          else args.lstm_words_num)
         self.n_words = vocab.n_words if vocab is not None else 0
@@ -430,8 +446,12 @@ class TestDataset(_DatasetBase):
                     raw = _synthetic_image(key, self.img_size)
                 else:
                     raw = decode_image(path, self.img_size)
-                img = (self.transform(raw) if self.transform is not None
-                       else eval_transform(raw, self.model_type))
+                if self.transform is not None:
+                    img = self.transform(raw)
+                elif self.uint8_images:
+                    img = np.ascontiguousarray(raw)  # device normalizes
+                else:
+                    img = eval_transform(raw, self.model_type)
             sample[f"img{slot}"] = img
             real_index = self._index.get(key, 0)
             new_sent_ix = real_index * self.embeddings_num  # sent_ix = 0

@@ -54,6 +54,8 @@ def _encode_text(en_type, text_encoder, te_params, text_head, th_params,
 
 
 def _backbone_feats(model_type, backbone_mod, frozen_vars, img):
+    from text_guided_face_recognition_tpu.ops import device_normalize
+    img = device_normalize(img, model_type)  # uint8_images wire mode
     out = backbone_mod.apply(frozen_vars, img, train=False)
     if model_type == "adaface":
         gl, lc, _ = out

@@ -45,9 +45,12 @@ class FrozenFeatureCache:
     """
 
     def __init__(self, backbone, args):
+        from text_guided_face_recognition_tpu.ops import device_normalize
         self.batch = max(1, int(getattr(args, "feature_cache_batch", 256)))
+        model_type = args.model_type
 
         def fwd(variables, img):
+            img = device_normalize(img, model_type)  # uint8_images wire mode
             out = backbone.module.apply(variables, img, train=False)
             return out[0], out[1]  # adaface's extra norm output is unused
 

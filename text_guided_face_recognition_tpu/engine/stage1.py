@@ -172,6 +172,7 @@ class Stage1Trainer:
         return words_emb, sent_emb, word_mask
 
     def _image_forward(self, frozen_vars, img):
+        img = ops.device_normalize(img, self.args.model_type)
         out = self.backbone.module.apply(frozen_vars, img, train=False)
         if self.args.model_type == "adaface":
             gl, lc, _norm = out

@@ -156,7 +156,8 @@ class FusionTrainer:
             if "img_gl" in batch:
                 gl, lc = batch["img_gl"], batch["img_lc"]
             else:
-                out = self.backbone.module.apply(frozen_vars, batch["img"],
+                img = ops.device_normalize(batch["img"], args.model_type)
+                out = self.backbone.module.apply(frozen_vars, img,
                                                  train=False)
                 gl, lc = (out[0], out[1])
                 gl = jax.lax.stop_gradient(gl)

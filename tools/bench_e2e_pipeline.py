@@ -104,6 +104,10 @@ def main():
                     help="timed train epochs (first warms the jit cache)")
     ap.add_argument("--bert-type", default="bert",
                     help="text arch override (groupvit for CPU smokes)")
+    ap.add_argument("--uint8", action="store_true",
+                    help="uint8-on-the-wire images (4x less h2d)")
+    ap.add_argument("--feature-cache", action="store_true",
+                    help="per-epoch frozen-backbone precompute")
     args_cli = ap.parse_args()
 
     import jax
@@ -131,7 +135,9 @@ def main():
         num_workers=args_cli.num_workers, max_epoch=1,
         valid_pair_list=os.path.join(args_cli.corpus, "pairs_valid.txt"),
         test_pair_list=os.path.join(args_cli.corpus, "pairs_test.txt"),
-        is_DAMSM=True, is_CLIP=True, is_ident_loss=True, num_classes=4500)
+        is_DAMSM=True, is_CLIP=True, is_ident_loss=True, num_classes=4500,
+        uint8_images=args_cli.uint8,
+        frozen_feature_cache=args_cli.feature_cache)
     trainer = Stage1Trainer(args)
 
     # 1. loader-only rate (host ceiling)
