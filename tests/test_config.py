@@ -62,3 +62,17 @@ def test_reference_cfg_files_load():
     for name in ("train_bert", "train_lstm", "fusion_bert", "fusion_lstm", "test"):
         cfg = load_yaml(f"cfg/{name}.yml")
         assert cfg.num_classes == 4500
+
+
+def test_celeba_cfg_variants_load():
+    """cfg/*_celeba.yml (the reference ships celeba prep scripts but no
+    config; tools/celeba_prep/ outputs wire into these)."""
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tr = load_yaml(os.path.join(root, "cfg", "train_bert_celeba.yml"))
+    assert tr.dataset_name == "celeba"
+    assert tr.captions_per_image == 1  # CelebA-Dialog: 1 caption/image
+    assert tr.num_classes == 4500      # prep step 3 default train split
+    te = load_yaml(os.path.join(root, "cfg", "test_celeba.yml"))
+    assert te.test_sub == 1217         # prep step 3 test identities
+    assert te.fusion_type == "fcfm"
