@@ -109,6 +109,9 @@ def main():
                     help="preset name (utils/xla_opts); default = the "
                          "stage's production preset")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--feature-cache", action="store_true",
+                    help="profile the frozen_feature_cache step shape "
+                         "(batch carries precomputed gl/lc, no conv tower)")
     ap.add_argument("--trace-dir", default=None,
                     help="parse an existing trace instead of capturing")
     args_cli = ap.parse_args()
@@ -170,6 +173,11 @@ def main():
             base = base.replace(en_type="BERT", bert_type="bert")
             tr = Stage1Trainer(base)
         frozen = tr.backbone.variables
+        if args_cli.feature_cache:
+            fwd = jax.jit(lambda v, x: tr.backbone.module.apply(
+                v, x, train=False))
+            out = fwd(frozen, batch.pop("img"))
+            batch["img_gl"], batch["img_lc"] = out[0], out[1]
 
         def inner(state, k):
             state, m = tr._train_step_fn(state, batch, frozen, k)
