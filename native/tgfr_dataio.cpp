@@ -9,7 +9,9 @@
 //
 //   JPEG decode (libjpeg) -> bilinear resize to HxW -> train augments
 //   (grayscale p=0.2, hflip p=0.5, per-image counter-based RNG) ->
-//   float32 [-1, 1] NHWC (+ optional RGB->BGR for adaface)
+//   float32 [-1, 1] NHWC (+ optional RGB->BGR for adaface), or with
+//   kFlagU8Out augmented uint8 RGB (uint8-on-the-wire mode: normalize +
+//   BGR run on-device, ops/images.device_normalize)
 //
 // Exposed as a C ABI consumed via ctypes (python: data/native.py).
 //
