@@ -126,15 +126,16 @@ class FusionTrainer:
                        compiler_options=resolve_xla_opts(
                            getattr(self.args, "xla_opts_stage2", "none")))
 
-    def build_loss_fn(self):
-        """Stage-2 margin loss as a pure function (per-sample — no cross-batch
-        matrices, so SPMD needs only grad-pmean; parallel/spmd.py)."""
+    def build_embed_fn(self):
+        """Fused-embedding forward — everything up to the margin head — as a
+        pure function (params, batch_stats, batch, frozen_vars, rng) ->
+        (output, new_batch_stats). Shared by build_loss_fn and the
+        class-sharded partial-FC SPMD step (parallel/partial_fc.py) so both
+        paths run the identical forward (reference: get_fusion_output,
+        src/fusion_bert.py:144-155)."""
         args = self.args
-        use_focal = args.model_type == "arcface" and args.loss == "focal_loss"
 
-        def loss_fn(params, batch_stats, batch, frozen_vars, rng):
-            label = batch["cls_id"].astype(jnp.int32)
-
+        def embed_fn(params, batch_stats, batch, frozen_vars, rng):
             # text path
             if self.is_bert:
                 words_raw, _ = self.text_encoder.module.apply(
@@ -184,6 +185,24 @@ class FusionTrainer:
                     fn_vars, local_f, words_emb, img_f, sent_emb, train=True,
                     mutable=["batch_stats"])
 
+            new_stats = {"image_head": ih_updates["batch_stats"],
+                         "fusion_net": fn_updates.get(
+                             "batch_stats", batch_stats["fusion_net"])}
+            return output, new_stats
+
+        return embed_fn
+
+    def build_loss_fn(self):
+        """Stage-2 margin loss as a pure function (per-sample — no cross-batch
+        matrices, so SPMD needs only grad-pmean; parallel/spmd.py)."""
+        args = self.args
+        use_focal = args.model_type == "arcface" and args.loss == "focal_loss"
+        embed_fn = self.build_embed_fn()
+
+        def loss_fn(params, batch_stats, batch, frozen_vars, rng):
+            label = batch["cls_id"].astype(jnp.int32)
+            output, new_stats = embed_fn(params, batch_stats, batch,
+                                         frozen_vars, rng)
             logits = ops.arc_margin_logits(
                 output, params["metric_fc"]["weight"], label, s=30.0, m=0.5,
                 easy_margin=args.easy_margin)
@@ -191,9 +210,6 @@ class FusionTrainer:
                 loss = ops.focal_loss(logits, label, gamma=2.0)
             else:
                 loss = ops.cross_entropy_rows(logits, label)
-            new_stats = {"image_head": ih_updates["batch_stats"],
-                         "fusion_net": fn_updates.get(
-                             "batch_stats", batch_stats["fusion_net"])}
             return loss, (new_stats, {"loss": loss})
 
         return loss_fn

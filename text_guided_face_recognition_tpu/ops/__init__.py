@@ -8,6 +8,7 @@ from text_guided_face_recognition_tpu.ops.losses import (  # noqa: F401
     cmpc_loss,
     cmpm_loss,
     cosine_similarity,
+    cross_entropy_rows,
     focal_loss,
     global_loss,
     kl_loss,

@@ -99,29 +99,58 @@ def make_shardmap_train_step(trainer, mesh: Mesh, axis: str = "data"):
 
 
 def make_shardmap_fusion_step(trainer, mesh: Mesh, axis: str = "data"):
-    """Explicit-SPMD stage-2 fusion step. The fusion loss is per-sample
-    (margin CE on the fused embedding — no cross-sample matrices), so this is
-    plain data parallelism: per-shard loss_fn, pmean of grads (each shard's
-    grad is the mean over its local rows; the equal-shard mean of means is the
-    full-batch mean), pmean of BN stats."""
+    """Explicit-SPMD stage-2 fusion step.
+
+    The margin CE is per-sample, but the reference's focal loss is NOT: its
+    (1-p)^gamma factor is computed from the BATCH-MEAN CE (the batch-mean
+    quirk, models/losses.py:313-325 — and DataParallel evaluates it once on
+    the gathered full batch on device 0: reference src/fusion_bert.py:228-232).
+    A per-shard focal over the local mean would scale every shard's gradient
+    by a *different* factor. So the collective lives INSIDE the loss: each
+    shard computes its local mean CE, pmean's it to the global mean, and
+    applies the focal transform to that — then each shard's gradient is
+    exactly 1/N of the full-batch gradient and a psum reconstructs it (for
+    plain CE this reduces to the usual mean-of-means data parallelism).
+    BN stats are pmean'd."""
+    import jax.numpy as jnp
+
+    from text_guided_face_recognition_tpu import ops
+
     args = trainer.args
-    # FusionTrainer keeps loss_fn inside _build_train_step; rebuild the
-    # identical closure for the per-shard step
-    loss_fn = trainer.build_loss_fn()
+    embed_fn = trainer.build_embed_fn()
+    use_focal = args.model_type == "arcface" and args.loss == "focal_loss"
 
     def per_shard(state: TrainState, batch, frozen_vars, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+        def loss_fn(params, batch_stats):
+            label = batch["cls_id"].astype(jnp.int32)
+            output, new_stats = embed_fn(params, batch_stats, batch,
+                                         frozen_vars, rng)
+            logits = ops.arc_margin_logits(
+                output, params["metric_fc"]["weight"], label, s=30.0, m=0.5,
+                easy_margin=args.easy_margin)
+            ce = jax.lax.pmean(ops.cross_entropy_rows(logits, label), axis)
+            if use_focal:
+                p = jnp.exp(-ce)
+                loss = (1.0 - p) ** 2.0 * ce
+            else:
+                loss = ce
+            return loss, (new_stats, {"loss": loss})
+
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_stats, metrics)), grads = grad_fn(
-            state.params, state.batch_stats, batch, frozen_vars, rng)
+            state.params, state.batch_stats)
         grads = optim.cast_grads(grads,
                                  getattr(args, "grads_dtype", "float32"))
-        grads = jax.lax.pmean(grads, axis)
+        # the pmean inside the loss makes each shard's grad 1/N of the full
+        # gradient: psum, not pmean
+        grads = jax.lax.psum(grads, axis)
         updates, new_opt = trainer.tx.update(grads, state.opt_state,
                                              state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_stats = jax.lax.pmean(new_stats, axis)
-        metrics = jax.lax.pmean(metrics, axis)
+        # the loss metric is already the global value on every shard
         return TrainState(params=new_params, batch_stats=new_stats,
                           opt_state=new_opt, step=state.step + 1), metrics
 
