@@ -170,7 +170,8 @@ def prepare_text_encoder(args, load: bool = True
         enc = M.TextEncoder(
             bert_type=args.bert_type, dtype=dtype,
             fused_ln=bool(getattr(args, "fused_ln", False)),
-            fused_dropout=bool(getattr(args, "fused_dropout", False)))
+            fused_dropout=bool(getattr(args, "fused_dropout", False)),
+            fused_block=str(getattr(args, "fused_block", "none")))
         ids = jnp.zeros((1, args.bert_words_num), jnp.int32)
         mask = jnp.ones((1, args.bert_words_num), jnp.int32)
         enc_vars = enc.init(_rng(), ids, mask)

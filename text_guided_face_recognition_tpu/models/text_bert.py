@@ -29,6 +29,7 @@ from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from text_guided_face_recognition_tpu.models.layers import l2_normalize
@@ -87,13 +88,20 @@ class _DropPlan:
         return b * t * a.hidden + a.layers * per_layer  # emb + layers
 
     def take(self, x: jnp.ndarray) -> jnp.ndarray:
-        n = int(x.size)
-        sl = jax.lax.dynamic_slice_in_dim(self.bits, self.ofs, n)
-        self.ofs += n
-        keep = (sl.reshape(x.shape) >= self.threshold)
+        keep = (self.take_bits(x.shape) >= self.threshold)
         scale = 1.0 / (1.0 - self.rate)
         return jnp.where(keep, x * jnp.asarray(scale, x.dtype),
                          jnp.zeros((), x.dtype))
+
+    def take_bits(self, shape) -> jnp.ndarray:
+        """Slice raw uint32 bits for a site (the fused-block kernels apply
+        the threshold themselves with identical semantics)."""
+        n = 1
+        for s in shape:
+            n *= int(s)
+        sl = jax.lax.dynamic_slice_in_dim(self.bits, self.ofs, n)
+        self.ofs += n
+        return sl.reshape(shape)
 
 
 def _ln(fused: bool, eps: float, dtype, name: str):
@@ -153,6 +161,44 @@ def _act(name: str):
     return lambda x: nn.gelu(x, approximate=False)
 
 
+class _DenseP(nn.Module):
+    """Declares nn.Dense-shaped params (same names/inits/dtypes) without the
+    forward, so the fused-block kernels (ops/block_pallas.py) can consume
+    them while keeping the checkpoint tree IDENTICAL to the unfused path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
+class _LnP(nn.Module):
+    """nn.LayerNorm-shaped params (scale/bias) for the fused-block path."""
+
+    @nn.compact
+    def __call__(self, h: int):
+        s = self.param("scale", nn.initializers.ones, (h,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (h,), jnp.float32)
+        return s, b
+
+
+class _AttnP(nn.Module):
+    """Param shell matching _SelfAttention's tree (attn/{qkv,out})."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        wqkv, bqkv = _DenseP(3 * self.hidden, name="qkv")(self.hidden)
+        wo, bo = _DenseP(self.hidden, name="out")(self.hidden)
+        return wqkv, bqkv, wo, bo
+
+
 class _SelfAttention(nn.Module):
     arch: TextArch
     dtype: Dtype = jnp.float32
@@ -196,11 +242,92 @@ class _Block(nn.Module):
     arch: TextArch
     dtype: Dtype = jnp.float32
     fused_ln: bool = False
+    fused_block: str = "none"   # "none" | "ffn" | "attn" | "both"
+
+    def _bits(self, shape, drop_plan):
+        """uint32 dropout bits for one fused-kernel site (same budget and
+        semantics as _DropPlan.take, which the unfused sites keep using)."""
+        if drop_plan is not None:
+            return drop_plan.take_bits(shape)
+        return jax.random.bits(self.make_rng("dropout"), shape, jnp.uint32)
+
+    def _fused_postln(self, x, mask, deterministic, drop_plan):
+        """Post-LN block via the fused half-layer Pallas kernels
+        (ops/block_pallas.py); param tree identical to the unfused path.
+
+        Params cross the kernel boundary as fp32 masters (cast happens
+        in-kernel — removing the materialized convert + copy pairs the
+        first cut paid per boundary). Dropout bits: the fused_dropout plan
+        or CPU interpret use host bits; otherwise the in-kernel Mosaic
+        PRNG, seeded once per layer (fwd and bwd reseed identically)."""
+        from text_guided_face_recognition_tpu.ops.block_pallas import (
+            attn_block, ffn_block)
+        a = self.arch
+        b, t, h = x.shape
+        interpret = jax.default_backend() == "cpu"
+        rate = float(a.dropout) if (a.dropout and not deterministic) else 0.0
+        use_prng = rate > 0.0 and drop_plan is None and not interpret
+        dummy = jnp.zeros((8, 128), jnp.uint32)
+        seed0 = jnp.zeros((1, 1), jnp.int32)
+        if use_prng:
+            seed0 = jax.random.randint(self.make_rng("dropout"), (1, 1),
+                                       0, np.iinfo(np.int32).max,
+                                       jnp.int32)
+        x2 = x.reshape(b * t, h)
+        mask_i = mask.astype(jnp.int32)
+
+        if self.fused_block in ("attn", "both"):
+            wqkv, bqkv, wo, bo = _AttnP(h, name="attn")()
+            g1, b1 = _LnP(name="attn_ln")(h)
+            if rate > 0.0 and not use_prng:
+                bits_p = self._bits((a.heads * b, t, t), drop_plan)
+                bits_h = self._bits((b * t, h), drop_plan)
+            else:
+                bits_p = bits_h = dummy
+            x2 = attn_block(
+                x2, mask_i, wqkv, bqkv, wo, bo, g1, b1,
+                bits_p, bits_h, seed0, b, t, a.heads, rate, a.ln_eps,
+                use_prng, interpret)
+        else:
+            h_att = _SelfAttention(a, self.dtype, name="attn")(
+                x, mask, deterministic, drop_plan)
+            if a.dropout and drop_plan is not None:
+                h_att = drop_plan.take(h_att)
+            elif a.dropout:
+                h_att = nn.Dropout(a.dropout, deterministic=deterministic,
+                                   name="attn_out_drop")(h_att)
+            x2 = _ln(self.fused_ln, a.ln_eps, self.dtype, "attn_ln")(
+                x + h_att).reshape(b * t, h)
+
+        if self.fused_block in ("ffn", "both"):
+            w1, c1 = _DenseP(a.intermediate, name="ffn_in")(h)
+            w2, c2 = _DenseP(h, name="ffn_out")(a.intermediate)
+            g2, b2 = _LnP(name="ffn_ln")(h)
+            bits_f = (self._bits((b * t, h), drop_plan)
+                      if rate > 0.0 and not use_prng else dummy)
+            # distinct PRNG stream from the attention kernel's
+            seed_f = seed0 ^ jnp.int32(0x5BD1E995) if use_prng else seed0
+            x2 = ffn_block(x2, w1, c1, w2, c2, g2, b2, bits_f, seed_f,
+                           rate, a.ln_eps, use_prng, interpret)
+        else:
+            y = x2.reshape(b, t, h)
+            f = nn.Dense(a.intermediate, dtype=self.dtype, name="ffn_in")(y)
+            f = _act(a.act)(f)
+            f = nn.Dense(h, dtype=self.dtype, name="ffn_out")(f)
+            if a.dropout and drop_plan is not None:
+                f = drop_plan.take(f)
+            elif a.dropout:
+                f = nn.Dropout(a.dropout, deterministic=deterministic,
+                               name="ffn_drop")(f)
+            return _ln(self.fused_ln, a.ln_eps, self.dtype, "ffn_ln")(y + f)
+        return x2.reshape(b, t, h)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
                  deterministic: bool = True, drop_plan=None) -> jnp.ndarray:
         a = self.arch
+        if self.fused_block != "none" and a.style == "postln":
+            return self._fused_postln(x, mask, deterministic, drop_plan)
         act = _act(a.act)
 
         def drop(h, name):
@@ -243,11 +370,20 @@ class TransformerEncoder(nn.Module):
     dtype: Dtype = jnp.float32
     fused_ln: bool = False
     fused_dropout: bool = False
+    fused_block: str = "none"   # Pallas half-layer kernels ("ffn"/"attn"/"both")
 
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
         a = self.arch
+        fb = self.fused_block
+        if fb != "none" and (a.style != "postln" or a.act != "gelu"):
+            import warnings
+            warnings.warn(
+                f"fused_block={fb!r} supports post-LN gelu archs only "
+                f"(bert/align/blip); falling back to the unfused path for "
+                f"style={a.style!r} act={a.act!r}")
+            fb = "none"
         b, t = input_ids.shape
         plan = None
         if self.fused_dropout and a.dropout and not deterministic:
@@ -272,7 +408,7 @@ class TransformerEncoder(nn.Module):
                            name="emb_drop")(x)
         mask = attention_mask.astype(bool)
         for i in range(a.layers):
-            x = _Block(a, self.dtype, self.fused_ln,
+            x = _Block(a, self.dtype, self.fused_ln, fb,
                        name=f"layer_{i}")(x, mask, deterministic, plan)
         if a.final_ln:
             x = _ln(self.fused_ln, a.ln_eps, self.dtype, "final_ln")(x)
@@ -288,13 +424,15 @@ class TextEncoder(nn.Module):
     dtype: Dtype = jnp.float32
     fused_ln: bool = False
     fused_dropout: bool = False
+    fused_block: str = "none"
 
     @nn.compact
     def __call__(self, captions: jnp.ndarray, mask: jnp.ndarray,
                  deterministic: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
         arch = TEXT_ARCHS[self.bert_type]
         hidden = TransformerEncoder(arch, self.dtype, self.fused_ln,
-                                    self.fused_dropout, name="model")(
+                                    self.fused_dropout, self.fused_block,
+                                    name="model")(
             captions, mask, deterministic)
         sent_emb = hidden[:, 0, :]
         words_emb = hidden[:, 1:, :]

@@ -101,6 +101,12 @@ def main():
             apply_grad_clip=("withclip" in variant),
             # "fuseddrop": one-RNG-call dropout plan for the text tower
             fused_dropout=("fuseddrop" in variant),
+            # "fbffn"/"fbattn"/"fbboth": Pallas half-layer mega-kernels in
+            # the text tower (ops/block_pallas.py) — one kernel fwd + one
+            # bwd per half-layer, all LN/dropout/residual glue inside
+            fused_block=("both" if "fbboth" in variant else
+                         "attn" if "fbattn" in variant else
+                         "ffn" if "fbffn" in variant else "none"),
             lazy_embedding_adam=("lazyemb" in variant))
         tr = Stage1Trainer(a)
 

@@ -105,6 +105,9 @@ def main():
                     help="0 disables stacked_optimizer; >0 sets threshold")
     ap.add_argument("--adam_moments_dtype", default=None)
     ap.add_argument("--lazy_embedding_adam", action="store_true")
+    ap.add_argument("--fused_block", default=None,
+                    choices=("none", "ffn", "attn", "both"),
+                    help="Pallas half-layer mega-kernels in the text tower")
     ap.add_argument("--xla_opts", default=None,
                     help="preset name (utils/xla_opts); default = the "
                          "stage's production preset")
@@ -159,6 +162,8 @@ def main():
             overrides["adam_moments_dtype"] = args_cli.adam_moments_dtype
         if args_cli.lazy_embedding_adam:
             overrides["lazy_embedding_adam"] = True
+        if args_cli.fused_block is not None:
+            overrides["fused_block"] = args_cli.fused_block
         base = TGFRConfig().replace(
             synthetic=True, batch_size=B, num_workers=2, max_epoch=1,
             **overrides)

