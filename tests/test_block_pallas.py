@@ -25,8 +25,10 @@ from text_guided_face_recognition_tpu.models import text_bert as tb
 from text_guided_face_recognition_tpu.ops.block_pallas import (
     attn_block, ffn_block)
 
+# intermediate=1024 -> TWO streamed K-blocks in the FFN kernels (the
+# grid-accumulation path), d_head=64 like the flagship
 ARCH = tb.TextArch(vocab_size=100, hidden=256, layers=2, heads=4,
-                   intermediate=512, max_positions=64)
+                   intermediate=1024, max_positions=64)
 B, T, H = 4, 12, 256
 
 
@@ -179,7 +181,7 @@ def _rand_params(seed, shapes):
 def test_ffn_kernel_dropout_matches_mirror_values_and_grads():
     eps = 1e-12
     x2 = jax.random.normal(jax.random.PRNGKey(0), (B * T, H), jnp.float32)
-    w1, c1, w2, c2 = _rand_params(1, [(H, 512), (512,), (512, H), (H,)])
+    w1, c1, w2, c2 = _rand_params(1, [(H, 1024), (1024,), (1024, H), (H,)])
     g = jnp.ones((H,)) * 1.1
     b_ = jnp.ones((H,)) * 0.05
     bits = jax.random.bits(jax.random.PRNGKey(2), (B * T, H), jnp.uint32)
@@ -255,9 +257,9 @@ def test_attn_kernel_dropout_matches_mirror_values_and_grads():
 def test_kernel_dropout_keep_fraction():
     eps = 1e-12
     x2 = jnp.ones((B * T, H), jnp.float32)
-    w1 = jnp.zeros((H, 512))
-    w2 = jnp.zeros((512, H))
-    c1 = jnp.zeros((512,))
+    w1 = jnp.zeros((H, 1024))
+    w2 = jnp.zeros((1024, H))
+    c1 = jnp.zeros((1024,))
     c2 = jnp.ones((H,))          # FFN output == 1 everywhere, pre-dropout
     g = jnp.ones((H,))
     b_ = jnp.zeros((H,))

@@ -196,55 +196,85 @@ def _attn_bits(bitsp_ref, bitsh_ref, seed_ref, pshape, hshape,
 
 
 def _ffn_fwd_kernel(x_ref, w1_ref, c1_ref, w2_ref, c2_ref, g_ref, b_ref,
-                    bits_ref, seed_ref, z_ref, f_ref, r_ref, *, rate: float,
-                    eps: float, use_prng: bool):
+                    bits_ref, seed_ref, z_ref, f_ref, r_ref, zacc_ref, *,
+                    rate: float, eps: float, use_prng: bool):
+    """K-streamed forward: grid over the intermediate dim. Each step
+    consumes one (H, BI) column block of w1 and the matching (BI, H) row
+    block of w2 (Mosaic double-buffers the block DMA against compute —
+    a gridless kernel pays the full weight-DMA latency serially), and
+    accumulates the second GEMM into an f32 scratch; the dropout +
+    residual + LN epilogue runs on the last step."""
     dt = x_ref.dtype
+    j = pl.program_id(0)
+    last = pl.num_programs(0) - 1
     x = x_ref[:]
-    bits = _ffn_bits(bits_ref, seed_ref, x.shape, rate, use_prng)
     f32 = jnp.dot(x, w1_ref[:].astype(dt),
                   preferred_element_type=jnp.float32)
-    f = f32.astype(dt) + c1_ref[:].astype(dt)           # (R, I) caller dtype
+    f = f32.astype(dt) + c1_ref[:].astype(dt)           # (R, BI)
     f_ref[:] = f
     a = _gelu(_f32(f)).astype(dt)
-    g32 = jnp.dot(a, w2_ref[:].astype(dt),
-                  preferred_element_type=jnp.float32)
-    g = g32.astype(dt) + c2_ref[:].astype(dt)
-    if rate > 0.0:
-        g = _drop(g, bits, rate, dt)
-    r = x + g
-    r_ref[:] = r
-    z = _ln_fwd_f32(_f32(r), _f32(g_ref[:].astype(dt)),
-                    _f32(b_ref[:].astype(dt)), eps)
-    z_ref[:] = z.astype(dt)
+    part = jnp.dot(a, w2_ref[:].astype(dt),
+                   preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        zacc_ref[:] = part
+
+    @pl.when(j > 0)
+    def _():
+        zacc_ref[:] += part
+
+    @pl.when(j == last)
+    def _():
+        bits = _ffn_bits(bits_ref, seed_ref, x.shape, rate, use_prng)
+        g = zacc_ref[:].astype(dt) + c2_ref[:].astype(dt)
+        if rate > 0.0:
+            g = _drop(g, bits, rate, dt)
+        r = x + g
+        r_ref[:] = r
+        z = _ln_fwd_f32(_f32(r), _f32(g_ref[:].astype(dt)),
+                        _f32(b_ref[:].astype(dt)), eps)
+        z_ref[:] = z.astype(dt)
 
 
 def _ffn_bwd_kernel(dz_ref, x_ref, f_ref, r_ref, w1_ref, w2_ref, g_ref,
                     bits_ref, seed_ref, dx_ref, dw1_ref, dc1_ref, dw2_ref,
-                    dc2_ref, dg_ref, db_ref, *, rate: float, eps: float,
-                    use_prng: bool):
+                    dc2_ref, dg_ref, db_ref, dgg_ref, dr_ref, dxacc_ref, *,
+                    rate: float, eps: float, use_prng: bool):
+    """K-streamed backward: LN/dropout prologue once (step 0), then per
+    intermediate-dim block: dW2, da, df, dW1, dc1 and the dx
+    accumulation — all block weight/residual DMA pipelined by the grid."""
     dt = dz_ref.dtype
-    bits = _ffn_bits(bits_ref, seed_ref, dz_ref.shape, rate, use_prng)
-    dr32, dgamma, dbeta = _ln_bwd_f32(_f32(dz_ref[:]), _f32(r_ref[:]),
-                                      _f32(g_ref[:].astype(dt)), eps)
-    dg_ref[:] = dgamma.astype(dg_ref.dtype)
-    db_ref[:] = dbeta.astype(db_ref.dtype)
-    dr = dr32.astype(dt)
-    dgg = dr
-    if rate > 0.0:
-        dgg = _drop(dr, bits, rate, dt)
-    f = f_ref[:]
+    j = pl.program_id(0)
+    last = pl.num_programs(0) - 1
+
+    @pl.when(j == 0)
+    def _():
+        bits = _ffn_bits(bits_ref, seed_ref, dz_ref.shape, rate, use_prng)
+        dr32, dgamma, dbeta = _ln_bwd_f32(_f32(dz_ref[:]), _f32(r_ref[:]),
+                                          _f32(g_ref[:].astype(dt)), eps)
+        dg_ref[:] = dgamma.astype(dg_ref.dtype)
+        db_ref[:] = dbeta.astype(db_ref.dtype)
+        dr = dr32.astype(dt)
+        dr_ref[:] = dr
+        dgg = dr
+        if rate > 0.0:
+            dgg = _drop(dr, bits, rate, dt)
+        dgg_ref[:] = dgg
+        dc2_ref[:] = jnp.sum(_f32(dgg), axis=0, keepdims=True).astype(
+            dc2_ref.dtype)
+
+    dgg = dgg_ref[:]
+    f = f_ref[:]                                        # (R, BI)
     a = _gelu(_f32(f)).astype(dt)
-    w1 = w1_ref[:].astype(dt)
-    w2 = w2_ref[:].astype(dt)
-    # weight/bias grads for the second GEMM
+    w1 = w1_ref[:].astype(dt)                           # (H, BI)
+    w2 = w2_ref[:].astype(dt)                           # (BI, H)
     dw2_ref[:] = jax.lax.dot_general(
         a, dgg, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dw2_ref.dtype)
-    dc2_ref[:] = jnp.sum(_f32(dgg), axis=0, keepdims=True).astype(
-        dc2_ref.dtype)
     da = jax.lax.dot_general(
         dgg, w2, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dt)
+        preferred_element_type=jnp.float32).astype(dt)  # (R, BI)
     df = (_f32(da) * _dgelu(_f32(f))).astype(dt)
     x = x_ref[:]
     dw1_ref[:] = jax.lax.dot_general(
@@ -254,8 +284,19 @@ def _ffn_bwd_kernel(dz_ref, x_ref, f_ref, r_ref, w1_ref, w2_ref, g_ref,
         dc1_ref.dtype)
     dx = jax.lax.dot_general(
         df, w1, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dt)
-    dx_ref[:] = dr + dx
+        preferred_element_type=jnp.float32)             # (R, H) f32
+
+    @pl.when(j == 0)
+    def _():
+        dxacc_ref[:] = dx
+
+    @pl.when(j > 0)
+    def _():
+        dxacc_ref[:] += dx
+
+    @pl.when(j == last)
+    def _():
+        dx_ref[:] = dr_ref[:] + dxacc_ref[:].astype(dt)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
@@ -277,20 +318,52 @@ def ffn_block(x, w1, c1, w2, c2, gamma, beta, bits, seed,
     return z
 
 
+def _ffn_cols(i: int) -> int:
+    """Largest lane-aligned divisor of the intermediate dim <= 768: the
+    streamed column-block width (3072 -> 768 = 4 grid steps)."""
+    for bi in (768, 512, 384, 256, 128):
+        if i % bi == 0:
+            return bi
+    return i
+
+
 def _ffn_fwd(x, w1, c1, w2, c2, gamma, beta, bits, seed, rate, eps,
              use_prng, interpret):
     n, h = x.shape
     i = w1.shape[1]
-    full = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)
+    bi = _ffn_cols(i)
+    const = lambda shape: pl.BlockSpec(shape, lambda j: (0, 0),  # noqa: E731
+                                       memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 1), lambda j: (0, 0),
+                        memory_space=pltpu.SMEM)
     z, f, r = pl.pallas_call(
         functools.partial(_ffn_fwd_kernel, rate=rate, eps=eps,
                           use_prng=use_prng),
-        in_specs=[full()] * 8 + [smem],
-        out_specs=[full()] * 3,
+        grid=(i // bi,),
+        in_specs=[
+            const((n, h)),                                        # x
+            pl.BlockSpec((h, bi), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),                # w1
+            pl.BlockSpec((1, bi), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),                # c1
+            pl.BlockSpec((bi, h), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),                # w2
+            const((1, h)),                                        # c2
+            const((1, h)),                                        # gamma
+            const((1, h)),                                        # beta
+            const(bits.shape),                                    # bits
+            smem,                                                 # seed
+        ],
+        out_specs=[
+            const((n, h)),                                        # z
+            pl.BlockSpec((n, bi), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),                # f
+            const((n, h)),                                        # r
+        ],
         out_shape=[jax.ShapeDtypeStruct((n, h), x.dtype),
                    jax.ShapeDtypeStruct((n, i), x.dtype),
                    jax.ShapeDtypeStruct((n, h), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((n, h), jnp.float32)],
         compiler_params=_params(),
         interpret=interpret,
     )(x, w1, c1.reshape(1, i), w2, c2.reshape(1, h), gamma.reshape(1, h),
@@ -302,13 +375,41 @@ def _ffn_bwd(rate, eps, use_prng, interpret, res, dz):
     x, f, r, w1, w2, gamma, bits, seed = res
     n, h = x.shape
     i = w1.shape[1]
-    full = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)
+    bi = _ffn_cols(i)
+    const = lambda shape: pl.BlockSpec(shape, lambda j: (0, 0),  # noqa: E731
+                                       memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 1), lambda j: (0, 0),
+                        memory_space=pltpu.SMEM)
     dx, dw1, dc1, dw2, dc2, dg, db = pl.pallas_call(
         functools.partial(_ffn_bwd_kernel, rate=rate, eps=eps,
                           use_prng=use_prng),
-        in_specs=[full()] * 8 + [smem],
-        out_specs=[full()] * 7,
+        grid=(i // bi,),
+        in_specs=[
+            const((n, h)),                                        # dz
+            const((n, h)),                                        # x
+            pl.BlockSpec((n, bi), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),                # f
+            const((n, h)),                                        # r
+            pl.BlockSpec((h, bi), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),                # w1
+            pl.BlockSpec((bi, h), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),                # w2
+            const((1, h)),                                        # gamma
+            const(bits.shape),                                    # bits
+            smem,                                                 # seed
+        ],
+        out_specs=[
+            const((n, h)),                                        # dx
+            pl.BlockSpec((h, bi), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),                # dw1
+            pl.BlockSpec((1, bi), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),                # dc1
+            pl.BlockSpec((bi, h), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),                # dw2
+            const((1, h)),                                        # dc2
+            const((1, h)),                                        # dg
+            const((1, h)),                                        # db
+        ],
         out_shape=[jax.ShapeDtypeStruct((n, h), x.dtype),
                    jax.ShapeDtypeStruct((h, i), w1.dtype),
                    jax.ShapeDtypeStruct((1, i), w1.dtype),
@@ -316,6 +417,9 @@ def _ffn_bwd(rate, eps, use_prng, interpret, res, dz):
                    jax.ShapeDtypeStruct((1, h), w2.dtype),
                    jax.ShapeDtypeStruct((1, h), gamma.dtype),
                    jax.ShapeDtypeStruct((1, h), gamma.dtype)],
+        scratch_shapes=[pltpu.VMEM((n, h), x.dtype),       # dgg
+                        pltpu.VMEM((n, h), x.dtype),       # dr
+                        pltpu.VMEM((n, h), jnp.float32)],  # dxacc
         compiler_params=_params(),
         interpret=interpret,
     )(dz, x, f, r, w1, w2, gamma.reshape(1, h), bits, seed)
