@@ -285,6 +285,104 @@ def test_text_encoder_fused_block_composes_with_fused_dropout():
     assert np.isfinite(np.asarray(words, np.float32)).all()
 
 
+ENC_KW = dict(bert_type="bert", dtype=jnp.float32)
+
+
+def _tiny_ids(bt=10, n=3):
+    ids = jnp.asarray(np.arange(n * bt).reshape(n, bt) % 90, jnp.int32)
+    mask = jnp.asarray(np.array([[1] * bt, [1] * (bt - 3) + [0] * 3,
+                                 [1] * (bt - 1) + [0]]), jnp.int32)
+    return ids, mask
+
+
+def _small_enc(fused_block, dtype=jnp.float32, fused_dropout=False):
+    # 2-layer small tower via a patched arch table entry
+    return tb.TransformerEncoder(ARCH, dtype, False, fused_dropout,
+                                 fused_block, name="model")
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 5e-5),
+                                       (jnp.bfloat16, 2e-2)])
+def test_tower_forward_matches_flax(dtype, tol):
+    ids, mask = _tiny_ids()
+    ref = _small_enc("none", dtype)
+    params = ref.init(jax.random.PRNGKey(11), ids, mask)
+    out_ref = ref.apply(params, ids, mask, True)
+    out_tower = _small_enc("tower", dtype).apply(params, ids, mask, True)
+    np.testing.assert_allclose(np.asarray(out_tower, np.float32),
+                               np.asarray(out_ref, np.float32),
+                               rtol=tol, atol=tol)
+
+
+def test_tower_param_tree_identical():
+    ids, mask = _tiny_ids()
+    p_ref = _small_enc("none").init(jax.random.PRNGKey(3), ids, mask)
+    p_tower = _small_enc("tower").init(jax.random.PRNGKey(3), ids, mask)
+    assert (jax.tree_util.tree_structure(p_ref)
+            == jax.tree_util.tree_structure(p_tower))
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p_ref),
+            jax.tree_util.tree_leaves_with_path(p_tower)):
+        assert ka == kb and a.shape == b.shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tower_grads_match_flax_deterministic():
+    ids, mask = _tiny_ids()
+    ref = _small_enc("none")
+    tower = _small_enc("tower")
+    params = ref.init(jax.random.PRNGKey(5), ids, mask)
+    co = jax.random.normal(jax.random.PRNGKey(6),
+                           (3, 10, ARCH.hidden), jnp.float32)
+
+    def loss(enc):
+        return lambda p: jnp.sum(
+            enc.apply(p, ids, mask, True).astype(jnp.float32) * co)
+
+    g_ref = jax.grad(loss(ref))(params)
+    g_tow = jax.grad(loss(tower))(params)
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_tow)):
+        scale = max(1.0, float(jnp.max(jnp.abs(a))))
+        np.testing.assert_allclose(np.asarray(b, np.float32),
+                                   np.asarray(a, np.float32),
+                                   rtol=2e-4, atol=2e-4 * scale,
+                                   err_msg=jax.tree_util.keystr(kp))
+
+
+def test_tower_dropout_equivalent_to_per_layer_fused():
+    """With the fused_dropout plan both paths consume the SAME bit slices
+    in the same per-layer order, so "tower" must reproduce "both" —
+    masks included — to kernel-numerics tolerance (values AND grads)."""
+    ids, mask = _tiny_ids()
+    both = _small_enc("both", fused_dropout=True)
+    tower = _small_enc("tower", fused_dropout=True)
+    params = both.init(jax.random.PRNGKey(7), ids, mask)
+    rngs = {"dropout": jax.random.PRNGKey(9)}
+    out_b = both.apply(params, ids, mask, False, rngs=rngs)
+    out_t = tower.apply(params, ids, mask, False, rngs=rngs)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_b),
+                               rtol=5e-5, atol=5e-5)
+
+    co = jax.random.normal(jax.random.PRNGKey(8),
+                           (3, 10, ARCH.hidden), jnp.float32)
+
+    def loss(enc):
+        return lambda p: jnp.sum(
+            enc.apply(p, ids, mask, False, rngs=rngs) * co)
+
+    g_b = jax.grad(loss(both))(params)
+    g_t = jax.grad(loss(tower))(params)
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_b),
+            jax.tree_util.tree_leaves_with_path(g_t)):
+        scale = max(1.0, float(jnp.max(jnp.abs(a))))
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4 * scale,
+                                   err_msg=jax.tree_util.keystr(kp))
+
+
 def test_fused_block_falls_back_for_preln():
     enc = tb.TextEncoder(bert_type="clip", dtype=jnp.float32,
                          fused_block="both")

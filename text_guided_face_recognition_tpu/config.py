@@ -207,7 +207,7 @@ class TGFRConfig:
     grads_dtype: str = "float32"           # grad-tree dtype at the jax.grad boundary ("float32" | "bfloat16"); bf16 halves dW-write/clip/Adam-read grad traffic (engine/optim.cast_grads; A/B in docs/BENCHMARKS.md)
     fused_ln: bool = False                 # single-kernel Pallas LayerNorm in the text tower (ops/layernorm_pallas.py; interpret-mode on CPU); measured -2.8%, kept as fused-kernel reference (docs/BENCHMARKS.md)
     fused_dropout: bool = False            # one-RNG-call dropout plan for the text tower (models/text_bert._DropPlan); A/B in docs/BENCHMARKS.md
-    fused_block: str = "none"              # Pallas HALF-LAYER mega-kernels in the text tower ("none"|"ffn"|"attn"|"both": ops/block_pallas.py — one kernel fwd + one bwd per half-layer; post-LN gelu archs only); A/B in docs/BENCHMARKS.md
+    fused_block: str = "none"              # Pallas mega-kernels in the text tower ("none"|"ffn"|"attn"|"both"|"tower": ops/block_pallas.py — half-layer kernels, or "tower" = ALL layers in one kernel fwd + one bwd with grid-streamed weights; post-LN gelu archs only); A/B in docs/BENCHMARKS.md
     lazy_embedding_adam: bool = False      # row-sparse (LazyAdam) update for large embedding tables in the encoder group (engine/optim.py r3)
     rnn_unroll: int = 18                   # lax.scan unroll factor for the bi-LSTM/GRU scans (models/text_rnn.py); 18 fully unrolls the reference T=18 (+5% LSTM step, docs/BENCHMARKS.md; param-tree-neutral)
     prng_impl: str = "rbg"                 # dropout-mask PRNG ("rbg" | "threefry2x32"); threefry costs ~14% of the stage-1 step

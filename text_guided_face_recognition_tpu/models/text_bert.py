@@ -199,6 +199,25 @@ class _AttnP(nn.Module):
         return wqkv, bqkv, wo, bo
 
 
+class _BlockP(nn.Module):
+    """Param shell for one full post-LN layer (fused_block="tower"):
+    declares every _Block param with IDENTICAL tree paths and returns the
+    12 leaves for the tower megakernel."""
+
+    arch: TextArch
+
+    @nn.compact
+    def __call__(self):
+        a = self.arch
+        h = a.hidden
+        wqkv, bqkv, wo, bo = _AttnP(h, name="attn")()
+        g1, b1 = _LnP(name="attn_ln")(h)
+        w1, c1 = _DenseP(a.intermediate, name="ffn_in")(h)
+        w2, c2 = _DenseP(h, name="ffn_out")(a.intermediate)
+        g2, b2 = _LnP(name="ffn_ln")(h)
+        return (wqkv, bqkv, wo, bo, g1, b1, w1, c1, w2, c2, g2, b2)
+
+
 class _SelfAttention(nn.Module):
     arch: TextArch
     dtype: Dtype = jnp.float32
@@ -370,7 +389,59 @@ class TransformerEncoder(nn.Module):
     dtype: Dtype = jnp.float32
     fused_ln: bool = False
     fused_dropout: bool = False
-    fused_block: str = "none"   # Pallas half-layer kernels ("ffn"/"attn"/"both")
+    fused_block: str = "none"   # Pallas kernels ("ffn"/"attn"/"both"/"tower")
+
+    def _site_bits(self, shape, plan):
+        if plan is not None:
+            return plan.take_bits(shape)
+        return jax.random.bits(self.make_rng("dropout"), shape, jnp.uint32)
+
+    def _tower(self, x, mask, deterministic, plan):
+        """All layers in ONE Pallas kernel each way (fused_block="tower",
+        ops/block_pallas.tower_block): per-layer weights stacked + cast
+        once per step (the stack/cast VJPs restore per-leaf fp32 grads;
+        param tree unchanged — _BlockP declares identical paths)."""
+        from text_guided_face_recognition_tpu.ops.block_pallas import (
+            tower_block)
+        a = self.arch
+        b, t, h = x.shape
+        dt = self.dtype
+        interpret = jax.default_backend() == "cpu"
+        rate = float(a.dropout) if (a.dropout and not deterministic) else 0.0
+        use_prng = rate > 0.0 and plan is None and not interpret
+        leaves = [_BlockP(a, name=f"layer_{i}")() for i in range(a.layers)]
+
+        def stk(idx, bias=False):
+            arrs = [lv[idx] for lv in leaves]
+            if bias:
+                arrs = [v.reshape(1, -1) for v in arrs]
+            return jnp.stack(arrs).astype(dt)
+
+        dummy = jnp.zeros((8, 128), jnp.uint32)
+        seed0 = jnp.zeros((1, 1), jnp.int32)
+        bits_p = bits_h = bits_f = dummy
+        if use_prng:
+            seed0 = jax.random.randint(self.make_rng("dropout"), (1, 1),
+                                       0, np.iinfo(np.int32).max,
+                                       jnp.int32)
+        elif rate > 0.0:
+            # host bits, same per-layer site order as the "both" path
+            # (probs, hidden, ffn) so the fused_dropout plan budget and a
+            # layer-by-layer equivalence test line up exactly
+            bp, bh, bf = [], [], []
+            for _ in range(a.layers):
+                bp.append(self._site_bits((a.heads * b, t, t), plan))
+                bh.append(self._site_bits((b * t, h), plan))
+                bf.append(self._site_bits((b * t, h), plan))
+            bits_p, bits_h, bits_f = (jnp.stack(bp), jnp.stack(bh),
+                                      jnp.stack(bf))
+        z = tower_block(
+            x.reshape(b * t, h), mask.astype(jnp.int32),
+            stk(0), stk(1, True), stk(2), stk(3, True), stk(4, True),
+            stk(5, True), stk(6), stk(7, True), stk(8), stk(9, True),
+            stk(10, True), stk(11, True), bits_p, bits_h, bits_f, seed0,
+            b, t, a.heads, rate, a.ln_eps, use_prng, interpret)
+        return z.reshape(b, t, h)
 
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
@@ -407,9 +478,12 @@ class TransformerEncoder(nn.Module):
             x = nn.Dropout(a.dropout, deterministic=deterministic,
                            name="emb_drop")(x)
         mask = attention_mask.astype(bool)
-        for i in range(a.layers):
-            x = _Block(a, self.dtype, self.fused_ln, fb,
-                       name=f"layer_{i}")(x, mask, deterministic, plan)
+        if fb == "tower":
+            x = self._tower(x, mask, deterministic, plan)
+        else:
+            for i in range(a.layers):
+                x = _Block(a, self.dtype, self.fused_ln, fb,
+                           name=f"layer_{i}")(x, mask, deterministic, plan)
         if a.final_ln:
             x = _ln(self.fused_ln, a.ln_eps, self.dtype, "final_ln")(x)
         return x

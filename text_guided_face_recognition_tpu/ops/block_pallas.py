@@ -78,13 +78,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["ffn_block", "attn_block"]
+__all__ = ["ffn_block", "attn_block", "tower_block"]
 
 _VMEM_LIMIT = 100 * 1024 * 1024  # measured OK well past 33 MB resident
 
 
 def _params(**kw):
-    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT, **kw)
+    kw.setdefault("vmem_limit_bytes", _VMEM_LIMIT)
+    return pltpu.CompilerParams(**kw)
 
 
 def _f32(x):
@@ -478,6 +479,55 @@ def _attn_heads_fwd(x, wqkv, bqkv, mask, bits_p, b: int, t: int,
     return qkv, p_all, o2
 
 
+def _attn_heads_bwd(do2, qkv, p_all, bp, b: int, t: int, heads: int,
+                    rate: float, dt):
+    """Shared per-head attention backward: given do2 = d(context rows)
+    (R, H), returns dqkv (R, 3H). `p_all` / `bp` may be refs or arrays
+    (only ever head-sliced)."""
+    n, h3 = qkv.shape
+    h = h3 // 3
+    d = h // heads
+    inv = 1.0 / float(np.sqrt(d))
+    do3 = do2.reshape(b, t, h)
+    q3 = qkv[:, :h].reshape(b, t, h)
+    k3 = qkv[:, h:2 * h].reshape(b, t, h)
+    v3 = qkv[:, 2 * h:].reshape(b, t, h)
+    dqs, dks, dvs = [], [], []
+    for hd in range(heads):
+        sl = slice(hd * d, (hd + 1) * d)
+        p = p_all[hd * b:(hd + 1) * b]                   # (B, T, T) dtype dt
+        pd = p
+        if rate > 0.0:
+            pd = _drop(p, bp[hd * b:(hd + 1) * b], rate, dt)
+        doh = do3[:, :, sl]                              # (B, T, d)
+        # dv = pd^T do  (contract over query axis, batched over B)
+        dv = jax.lax.dot_general(pd, doh, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dvs.append(dv.astype(dt))
+        # dp = do v^T (batched)
+        dp = jax.lax.dot_general(doh, v3[:, :, sl],
+                                 (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            dp = _drop(dp, bp[hd * b:(hd + 1) * b], rate, jnp.float32)
+        p32 = _f32(p)
+        ds = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
+        ds = (ds * inv).astype(dt)
+        # dq = ds k (batched over B), dk = ds^T q
+        dq = jax.lax.dot_general(ds, k3[:, :, sl],
+                                 (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, q3[:, :, sl],
+                                 (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dqs.append(dq.astype(dt))
+        dks.append(dk.astype(dt))
+    dq2 = jnp.concatenate(dqs, axis=-1).reshape(b * t, h)
+    dk2 = jnp.concatenate(dks, axis=-1).reshape(b * t, h)
+    dv2 = jnp.concatenate(dvs, axis=-1).reshape(b * t, h)
+    return jnp.concatenate([dq2, dk2, dv2], axis=-1)     # (R, 3H)
+
+
 def _attn_fwd_kernel(x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
                      g_ref, b_ref, bitsp_ref, bitsh_ref, seed_ref,
                      y_ref, qkv_ref, p_ref, o_ref, r_ref, *,
@@ -536,45 +586,8 @@ def _attn_bwd_kernel(dy_ref, x_ref, qkv_ref, p_ref, o_ref, r_ref,
     do2 = jax.lax.dot_general(
         dh, wo_ref[:].astype(dt), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dt)   # (R, H)
-    do3 = do2.reshape(b, t, h)
-    qkv = qkv_ref[:]
-    q3 = qkv[:, :h].reshape(b, t, h)
-    k3 = qkv[:, h:2 * h].reshape(b, t, h)
-    v3 = qkv[:, 2 * h:].reshape(b, t, h)
-    dqs, dks, dvs = [], [], []
-    for hd in range(heads):
-        sl = slice(hd * d, (hd + 1) * d)
-        p = p_ref[hd * b:(hd + 1) * b]                   # (B, T, T) dtype dt
-        pd = p
-        if rate > 0.0:
-            pd = _drop(p, bp[hd * b:(hd + 1) * b], rate, dt)
-        doh = do3[:, :, sl]                              # (B, T, d)
-        # dv = pd^T do  (contract over query axis, batched over B)
-        dv = jax.lax.dot_general(pd, doh, (((1,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)
-        dvs.append(dv.astype(dt))
-        # dp = do v^T (batched)
-        dp = jax.lax.dot_general(doh, v3[:, :, sl],
-                                 (((2,), (2,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)
-        if rate > 0.0:
-            dp = _drop(dp, bp[hd * b:(hd + 1) * b], rate, jnp.float32)
-        p32 = _f32(p)
-        ds = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
-        ds = (ds * inv).astype(dt)
-        # dq = ds k (batched over B), dk = ds^T q
-        dq = jax.lax.dot_general(ds, k3[:, :, sl],
-                                 (((2,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)
-        dk = jax.lax.dot_general(ds, q3[:, :, sl],
-                                 (((1,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)
-        dqs.append(dq.astype(dt))
-        dks.append(dk.astype(dt))
-    dq2 = jnp.concatenate(dqs, axis=-1).reshape(b * t, h)
-    dk2 = jnp.concatenate(dks, axis=-1).reshape(b * t, h)
-    dv2 = jnp.concatenate(dvs, axis=-1).reshape(b * t, h)
-    dqkv = jnp.concatenate([dq2, dk2, dv2], axis=-1)     # (R, 3H)
+    dqkv = _attn_heads_bwd(do2, qkv_ref[:], p_ref, bp, b, t, heads,
+                           rate, dt)
     x = x_ref[:]
     dwqkv_ref[:] = jax.lax.dot_general(
         x, dqkv, (((0,), (0,)), ((), ())),
@@ -662,3 +675,349 @@ def _attn_bwd(b, t, heads, rate, eps, use_prng, interpret, res, dy):
 
 
 attn_block.defvjp(_attn_fwd, _attn_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Whole-tower megakernel: all L post-LN layers in ONE kernel each way.
+#
+# Grid = (L,). Per grid step the kernel runs one complete layer
+# (attention half + FFN half) on the carried activation; per-layer weights
+# arrive as (1, ...) blocks of stacked (L, ...) arrays, so Mosaic
+# double-buffers layer j+1's weight DMA against layer j's compute, and the
+# per-layer residuals stream OUT the same way. This collapses the tower
+# from 48 kernel crossings (fused_block="both") / ~600 XLA ops to exactly
+# one custom-call forward and one backward, removing the per-boundary
+# copy/launch tax the half-layer A/B measured.
+#
+# The backward iterates layers in REVERSE via the BlockSpec index maps
+# (the kernel body always sees "its" layer at block index 0) and carries
+# d(activation) in scratch. Dropout bits regenerate per layer from
+# prng_seed(seed + layer), so fwd and bwd agree regardless of iteration
+# order; host-bits mode takes stacked (L, ...) bit arrays (fused_dropout
+# plan / CPU interpret tests).
+# ---------------------------------------------------------------------------
+
+
+def _tower_fwd_kernel(x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+                      g1_ref, b1_ref, w1_ref, c1_ref, w2_ref, c2_ref,
+                      g2_ref, b2_ref, bitsp_ref, bitsh_ref, bitsf_ref,
+                      seed_ref, z_ref, xin_ref, qkv_ref, p_ref, o_ref,
+                      r1_ref, f_ref, r2_ref, xc, *,
+                      b: int, t: int, heads: int, rate: float, eps: float,
+                      use_prng: bool):
+    dt = x_ref.dtype
+    j = pl.program_id(0)
+    last = pl.num_programs(0) - 1
+
+    @pl.when(j == 0)
+    def _():
+        xc[:] = x_ref[:]
+
+    x = xc[:]
+    n, h = x.shape
+    xin_ref[0] = x
+    bp = bh = bf = None
+    if rate > 0.0:
+        if use_prng:
+            pltpu.prng_seed(seed_ref[0, 0] + j)
+            bp = pltpu.bitcast(
+                pltpu.prng_random_bits((heads * b, t, t)), jnp.uint32)
+            bh = pltpu.bitcast(
+                pltpu.prng_random_bits((n, h)), jnp.uint32)
+            bf = pltpu.bitcast(
+                pltpu.prng_random_bits((n, h)), jnp.uint32)
+        else:
+            bp, bh, bf = bitsp_ref[0], bitsh_ref[0], bitsf_ref[0]
+
+    # ---- attention half
+    qkv, p_all, o2 = _attn_heads_fwd(x, wqkv_ref[0], bqkv_ref[0],
+                                     mask_ref[:], bp, b, t, heads,
+                                     rate, dt)
+    qkv_ref[0] = qkv
+    p_ref[0] = p_all
+    o_ref[0] = o2
+    hh = jnp.dot(o2, wo_ref[0],
+                 preferred_element_type=jnp.float32).astype(dt) + bo_ref[0]
+    if rate > 0.0:
+        hh = _drop(hh, bh, rate, dt)
+    r1 = x + hh
+    r1_ref[0] = r1
+    y = _ln_fwd_f32(_f32(r1), _f32(g1_ref[0]), _f32(b1_ref[0]),
+                    eps).astype(dt)
+
+    # ---- FFN half
+    f = jnp.dot(y, w1_ref[0],
+                preferred_element_type=jnp.float32).astype(dt) + c1_ref[0]
+    f_ref[0] = f
+    a = _gelu(_f32(f)).astype(dt)
+    g = jnp.dot(a, w2_ref[0],
+                preferred_element_type=jnp.float32).astype(dt) + c2_ref[0]
+    if rate > 0.0:
+        g = _drop(g, bf, rate, dt)
+    r2 = y + g
+    r2_ref[0] = r2
+    z = _ln_fwd_f32(_f32(r2), _f32(g2_ref[0]), _f32(b2_ref[0]),
+                    eps).astype(dt)
+    xc[:] = z
+
+    @pl.when(j == last)
+    def _():
+        z_ref[:] = xc[:]
+
+
+def _tower_bwd_kernel(dz_ref, mask_ref, xin_ref, qkv_ref, p_ref, o_ref,
+                      r1_ref, f_ref, r2_ref, wqkv_ref, wo_ref, g1_ref,
+                      b1_ref, w1_ref, w2_ref, g2_ref, bitsp_ref, bitsh_ref,
+                      bitsf_ref, seed_ref,
+                      dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
+                      dg1_ref, db1_ref, dw1_ref, dc1_ref, dw2_ref, dc2_ref,
+                      dg2_ref, db2_ref, dyc, *,
+                      n_layers: int, b: int, t: int, heads: int,
+                      rate: float, eps: float, use_prng: bool):
+    dt = dz_ref.dtype
+    j = pl.program_id(0)
+    last = pl.num_programs(0) - 1
+    layer = n_layers - 1 - j                # the layer this step handles
+
+    @pl.when(j == 0)
+    def _():
+        dyc[:] = dz_ref[:]
+
+    dz = dyc[:]
+    n, h = dz.shape
+    bp = bh = bf = None
+    if rate > 0.0:
+        if use_prng:
+            pltpu.prng_seed(seed_ref[0, 0] + layer)
+            bp = pltpu.bitcast(
+                pltpu.prng_random_bits((heads * b, t, t)), jnp.uint32)
+            bh = pltpu.bitcast(
+                pltpu.prng_random_bits((n, h)), jnp.uint32)
+            bf = pltpu.bitcast(
+                pltpu.prng_random_bits((n, h)), jnp.uint32)
+        else:
+            bp, bh, bf = bitsp_ref[0], bitsh_ref[0], bitsf_ref[0]
+
+    # ---- FFN half backward (LN2 -> W2 -> gelu -> W1 -> LN1 input y)
+    dr232, dg2, db2 = _ln_bwd_f32(_f32(dz), _f32(r2_ref[0]),
+                                  _f32(g2_ref[0]), eps)
+    dg2_ref[0] = dg2.astype(dg2_ref.dtype)
+    db2_ref[0] = db2.astype(db2_ref.dtype)
+    dr2 = dr232.astype(dt)
+    dgg = dr2
+    if rate > 0.0:
+        dgg = _drop(dr2, bf, rate, dt)
+    f = f_ref[0]
+    a = _gelu(_f32(f)).astype(dt)
+    w1 = w1_ref[0]
+    w2 = w2_ref[0]
+    dw2_ref[0] = jax.lax.dot_general(
+        a, dgg, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dw2_ref.dtype)
+    dc2_ref[0] = jnp.sum(_f32(dgg), axis=0, keepdims=True).astype(
+        dc2_ref.dtype)
+    da = jax.lax.dot_general(
+        dgg, w2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dt)
+    df = (_f32(da) * _dgelu(_f32(f))).astype(dt)
+    # y (the FFN input) is recomputed from the saved pre-LN1 residual
+    y = _ln_fwd_f32(_f32(r1_ref[0]), _f32(g1_ref[0]), _f32(b1_ref[0]),
+                    eps).astype(dt)
+    dw1_ref[0] = jax.lax.dot_general(
+        y, df, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dw1_ref.dtype)
+    dc1_ref[0] = jnp.sum(_f32(df), axis=0, keepdims=True).astype(
+        dc1_ref.dtype)
+    dy = dr2 + jax.lax.dot_general(
+        df, w1, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dt)
+
+    # ---- attention half backward
+    dr132, dg1, db1 = _ln_bwd_f32(_f32(dy), _f32(r1_ref[0]),
+                                  _f32(g1_ref[0]), eps)
+    dg1_ref[0] = dg1.astype(dg1_ref.dtype)
+    db1_ref[0] = db1.astype(db1_ref.dtype)
+    dr1 = dr132.astype(dt)
+    dh = dr1
+    if rate > 0.0:
+        dh = _drop(dr1, bh, rate, dt)
+    o2 = o_ref[0]
+    dwo_ref[0] = jax.lax.dot_general(
+        o2, dh, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dwo_ref.dtype)
+    dbo_ref[0] = jnp.sum(_f32(dh), axis=0, keepdims=True).astype(
+        dbo_ref.dtype)
+    do2 = jax.lax.dot_general(
+        dh, wo_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dt)
+    dqkv = _attn_heads_bwd(do2, qkv_ref[0], p_ref[0], bp, b, t, heads,
+                           rate, dt)
+    x = xin_ref[0]
+    dwqkv_ref[0] = jax.lax.dot_general(
+        x, dqkv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dwqkv_ref.dtype)
+    dbqkv_ref[0] = jnp.sum(_f32(dqkv), axis=0, keepdims=True).astype(
+        dbqkv_ref.dtype)
+    dx = dr1 + jax.lax.dot_general(
+        dqkv, wqkv_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dt)
+    dyc[:] = dx
+
+    @pl.when(j == last)
+    def _():
+        dx_ref[:] = dyc[:]
+
+
+_TOWER_VMEM = 127 * 1024 * 1024
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(18, 19, 20, 21, 22, 23, 24))
+def tower_block(x, mask, wqkv_s, bqkv_s, wo_s, bo_s, g1_s, b1_s,
+                w1_s, c1_s, w2_s, c2_s, g2_s, b2_s,
+                bits_p, bits_h, bits_f, seed,
+                b: int = 0, t: int = 0, heads: int = 12,
+                rate: float = 0.0, eps: float = 1e-12,
+                use_prng: bool = False, interpret: bool = False):
+    """Whole post-LN tower as ONE fwd + ONE bwd Pallas kernel.
+
+    x: (R, H) = (b*t, H) caller dtype. Stacked per-layer params, ALREADY
+    cast to the caller dtype (the model stacks+casts once per step; the
+    cast/stack VJPs restore per-leaf fp32 grads): wqkv_s (L, H, 3H),
+    bqkv_s (L, 1, 3H), wo_s (L, H, H), bo_s (L, 1, H), g1_s/b1_s
+    (L, 1, H), w1_s (L, H, I), c1_s (L, 1, I), w2_s (L, I, H), c2_s
+    (L, 1, H), g2_s/b2_s (L, 1, H). Dropout: in-kernel Mosaic PRNG
+    (`use_prng=True`, seed (1,1) int32, per-layer reseed) or stacked host
+    bits (L, heads*b, t, t) / (L, R, H) x2. Returns z: (R, H).
+    """
+    z, _ = _tower_fwd(x, mask, wqkv_s, bqkv_s, wo_s, bo_s, g1_s, b1_s,
+                      w1_s, c1_s, w2_s, c2_s, g2_s, b2_s, bits_p, bits_h,
+                      bits_f, seed, b, t, heads, rate, eps, use_prng,
+                      interpret)
+    return z
+
+
+def _stk(shape):
+    """(1, ...) block of a layer-stacked array, forward layer order."""
+    nd = len(shape)
+    return pl.BlockSpec((1,) + tuple(shape),
+                        lambda j: (j,) + (0,) * nd,
+                        memory_space=pltpu.VMEM)
+
+
+def _stk_rev(shape, n_layers):
+    """(1, ...) block of a layer-stacked array, REVERSED layer order."""
+    nd = len(shape)
+    return pl.BlockSpec((1,) + tuple(shape),
+                        lambda j: (n_layers - 1 - j,) + (0,) * nd,
+                        memory_space=pltpu.VMEM)
+
+
+def _tower_fwd(x, mask, wqkv_s, bqkv_s, wo_s, bo_s, g1_s, b1_s,
+               w1_s, c1_s, w2_s, c2_s, g2_s, b2_s, bits_p, bits_h,
+               bits_f, seed, b, t, heads, rate, eps, use_prng, interpret):
+    n, h = x.shape
+    L = wqkv_s.shape[0]
+    i = w1_s.shape[2]
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda j: (0,) * len(shape), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM)
+    host_bits = rate > 0.0 and not use_prng
+    bspec = (lambda a: _stk(a.shape[1:])) if host_bits else \
+        (lambda a: const(a.shape))
+    z, xin, qkv, p, o, r1, f, r2 = pl.pallas_call(
+        functools.partial(_tower_fwd_kernel, b=b, t=t, heads=heads,
+                          rate=rate, eps=eps, use_prng=use_prng),
+        grid=(L,),
+        in_specs=[
+            const((n, h)), const(mask.shape),
+            _stk((h, 3 * h)), _stk((1, 3 * h)), _stk((h, h)),
+            _stk((1, h)), _stk((1, h)), _stk((1, h)),
+            _stk((h, i)), _stk((1, i)), _stk((i, h)),
+            _stk((1, h)), _stk((1, h)), _stk((1, h)),
+            bspec(bits_p), bspec(bits_h), bspec(bits_f), smem,
+        ],
+        out_specs=[
+            const((n, h)),
+            _stk((n, h)), _stk((n, 3 * h)), _stk((heads * b, t, t)),
+            _stk((n, h)), _stk((n, h)), _stk((n, i)), _stk((n, h)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h), x.dtype),
+            jax.ShapeDtypeStruct((L, n, h), x.dtype),
+            jax.ShapeDtypeStruct((L, n, 3 * h), x.dtype),
+            jax.ShapeDtypeStruct((L, heads * b, t, t), x.dtype),
+            jax.ShapeDtypeStruct((L, n, h), x.dtype),
+            jax.ShapeDtypeStruct((L, n, h), x.dtype),
+            jax.ShapeDtypeStruct((L, n, i), x.dtype),
+            jax.ShapeDtypeStruct((L, n, h), x.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((n, h), x.dtype)],
+        compiler_params=_params(vmem_limit_bytes=_TOWER_VMEM),
+        interpret=interpret,
+    )(x, mask, wqkv_s, bqkv_s, wo_s, bo_s, g1_s, b1_s, w1_s, c1_s, w2_s,
+      c2_s, g2_s, b2_s, bits_p, bits_h, bits_f, seed)
+    return z, (x, mask, wqkv_s, wo_s, g1_s, b1_s, w1_s, w2_s, g2_s,
+               bits_p, bits_h, bits_f, seed, xin, qkv, p, o, r1, f, r2)
+
+
+def _tower_bwd(b, t, heads, rate, eps, use_prng, interpret, res, dz):
+    (x, mask, wqkv_s, wo_s, g1_s, b1_s, w1_s, w2_s, g2_s,
+     bits_p, bits_h, bits_f, seed, xin, qkv, p, o, r1, f, r2) = res
+    n, h = x.shape
+    L = wqkv_s.shape[0]
+    i = w1_s.shape[2]
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda j: (0,) * len(shape), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM)
+    rev = functools.partial(_stk_rev, n_layers=L)
+    host_bits = rate > 0.0 and not use_prng
+    bspec = (lambda a: rev(a.shape[1:])) if host_bits else \
+        (lambda a: const(a.shape))
+    (dx, dwqkv, dbqkv, dwo, dbo, dg1, db1, dw1, dc1, dw2, dc2, dg2,
+     db2) = pl.pallas_call(
+        functools.partial(_tower_bwd_kernel, n_layers=L, b=b, t=t,
+                          heads=heads, rate=rate, eps=eps,
+                          use_prng=use_prng),
+        grid=(L,),
+        in_specs=[
+            const((n, h)), const(mask.shape),
+            rev((n, h)), rev((n, 3 * h)), rev((heads * b, t, t)),
+            rev((n, h)), rev((n, h)), rev((n, i)), rev((n, h)),
+            rev((h, 3 * h)), rev((h, h)), rev((1, h)), rev((1, h)),
+            rev((h, i)), rev((i, h)), rev((1, h)),
+            bspec(bits_p), bspec(bits_h), bspec(bits_f), smem,
+        ],
+        out_specs=[
+            const((n, h)),
+            rev((h, 3 * h)), rev((1, 3 * h)), rev((h, h)), rev((1, h)),
+            rev((1, h)), rev((1, h)), rev((h, i)), rev((1, i)),
+            rev((i, h)), rev((1, h)), rev((1, h)), rev((1, h)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h), x.dtype),
+            jax.ShapeDtypeStruct((L, h, 3 * h), wqkv_s.dtype),
+            jax.ShapeDtypeStruct((L, 1, 3 * h), wqkv_s.dtype),
+            jax.ShapeDtypeStruct((L, h, h), wo_s.dtype),
+            jax.ShapeDtypeStruct((L, 1, h), wo_s.dtype),
+            jax.ShapeDtypeStruct((L, 1, h), g1_s.dtype),
+            jax.ShapeDtypeStruct((L, 1, h), g1_s.dtype),
+            jax.ShapeDtypeStruct((L, h, i), w1_s.dtype),
+            jax.ShapeDtypeStruct((L, 1, i), w1_s.dtype),
+            jax.ShapeDtypeStruct((L, i, h), w2_s.dtype),
+            jax.ShapeDtypeStruct((L, 1, h), w2_s.dtype),
+            jax.ShapeDtypeStruct((L, 1, h), g2_s.dtype),
+            jax.ShapeDtypeStruct((L, 1, h), g2_s.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((n, h), x.dtype)],
+        compiler_params=_params(vmem_limit_bytes=_TOWER_VMEM),
+        interpret=interpret,
+    )(dz, mask, xin, qkv, p, o, r1, f, r2, wqkv_s, wo_s, g1_s, b1_s,
+      w1_s, w2_s, g2_s, bits_p, bits_h, bits_f, seed)
+    return (dx, _float0_like(mask), dwqkv, dbqkv, dwo, dbo, dg1, db1,
+            dw1, dc1, dw2, dc2, dg2, db2, _float0_like(bits_p),
+            _float0_like(bits_h), _float0_like(bits_f),
+            _float0_like(seed))
+
+
+tower_block.defvjp(_tower_fwd, _tower_bwd)

@@ -104,7 +104,8 @@ def main():
             # "fbffn"/"fbattn"/"fbboth": Pallas half-layer mega-kernels in
             # the text tower (ops/block_pallas.py) — one kernel fwd + one
             # bwd per half-layer, all LN/dropout/residual glue inside
-            fused_block=("both" if "fbboth" in variant else
+            fused_block=("tower" if "fbtower" in variant else
+                         "both" if "fbboth" in variant else
                          "attn" if "fbattn" in variant else
                          "ffn" if "fbffn" in variant else "none"),
             lazy_embedding_adam=("lazyemb" in variant))

@@ -106,8 +106,8 @@ def main():
     ap.add_argument("--adam_moments_dtype", default=None)
     ap.add_argument("--lazy_embedding_adam", action="store_true")
     ap.add_argument("--fused_block", default=None,
-                    choices=("none", "ffn", "attn", "both"),
-                    help="Pallas half-layer mega-kernels in the text tower")
+                    choices=("none", "ffn", "attn", "both", "tower"),
+                    help="Pallas mega-kernels in the text tower")
     ap.add_argument("--xla_opts", default=None,
                     help="preset name (utils/xla_opts); default = the "
                          "stage's production preset")

@@ -18,6 +18,7 @@ Run: python tools/verify_block_prng.py   (~2 min warm cache; prints PASS)
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 
@@ -218,6 +219,107 @@ def main():
     assert (np.asarray(z_p) == np.asarray(z_h)).all(), \
         "ffn prng mode != host mode with the extracted bit stream"
     print("ffn prng == replayed host bits (values bit-identical): PASS")
+
+    # ---- tower megakernel: same replay equivalence. The tower reseeds
+    # prng_seed(seed + layer) per grid step and draws (probs, hidden, ffn)
+    # per layer; the dump kernel reproduces exactly that stream. Reduced
+    # dims: the mechanism under test (reseed + draw order) is
+    # shape-independent, and the FULL-dim f32 backward's double-buffered
+    # weight+grad blocks (~108 MB) exceed the 127 MB VMEM cap (production
+    # runs the tower in bf16, where it fits — see the fbtower A/B).
+    from text_guided_face_recognition_tpu.ops.block_pallas import (
+        tower_block)
+    L = 3
+    H, I, HEADS = 256, 1024, 4
+    x = jax.random.normal(k[10], (N, H), jnp.float32)
+    g = jnp.ones((H,))
+    b_ = jnp.zeros((H,))
+    C = np.sign(np.random.default_rng(1).normal(
+        size=(N, H))).astype(np.float32)
+
+    def dumpL_kernel(seed_ref, bp_ref, bh_ref, bf_ref):
+        jj = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0, 0] + jj)
+        bp_ref[0] = pltpu.bitcast(
+            pltpu.prng_random_bits(bp_ref.shape[1:]), jnp.uint32)
+        bh_ref[0] = pltpu.bitcast(
+            pltpu.prng_random_bits(bh_ref.shape[1:]), jnp.uint32)
+        bf_ref[0] = pltpu.bitcast(
+            pltpu.prng_random_bits(bf_ref.shape[1:]), jnp.uint32)
+
+    @jax.jit
+    def dumpL(seed):
+        return pl.pallas_call(
+            dumpL_kernel,
+            grid=(L,),
+            in_specs=[pl.BlockSpec((1, 1), lambda j: (0, 0),
+                                   memory_space=pltpu.SMEM)],
+            out_specs=[
+                pl.BlockSpec((1, HEADS * B, T, T), lambda j: (j, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, H), lambda j: (j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, H), lambda j: (j, 0, 0),
+                             memory_space=pltpu.VMEM)],
+            out_shape=[
+                jax.ShapeDtypeStruct((L, HEADS * B, T, T), jnp.uint32),
+                jax.ShapeDtypeStruct((L, N, H), jnp.uint32),
+                jax.ShapeDtypeStruct((L, N, H), jnp.uint32)],
+        )(seed)
+
+    ks = jax.random.split(jax.random.PRNGKey(42), 12)
+    stk = lambda shp, scale=0.02: jnp.stack(  # noqa: E731
+        [jax.random.normal(kk, shp) * scale for kk in
+         jax.random.split(ks[0], L)])
+    wqkv_s = stk((H, 3 * H))
+    bqkv_s = stk((1, 3 * H))
+    wo_s = stk((H, H))
+    bo_s = stk((1, H))
+    g1_s = jnp.ones((L, 1, H))
+    b1_s = jnp.zeros((L, 1, H))
+    w1_s = stk((H, I))
+    c1_s = stk((1, I))
+    w2_s = stk((I, H))
+    c2_s = stk((1, H))
+    g2_s = jnp.ones((L, 1, H))
+    b2_s = jnp.zeros((L, 1, H))
+
+    def tower(bits3, seed_arg, use_prng):
+        bp3, bh3, bf3 = bits3
+        return tower_block(x, mask, wqkv_s, bqkv_s, wo_s, bo_s, g1_s,
+                           b1_s, w1_s, c1_s, w2_s, c2_s, g2_s, b2_s,
+                           bp3, bh3, bf3, seed_arg, B, T, HEADS,
+                           RATE, EPS, use_prng, False)
+
+    params12 = (wqkv_s, bqkv_s, wo_s, bo_s, g1_s, b1_s, w1_s, c1_s,
+                w2_s, c2_s, g2_s, b2_s)
+
+    # pass every array as a jit ARG (closure constants inline a 65 MB HLO)
+    def tower_f(ps, bp3, bh3, bf3, seed_arg, use_prng):
+        return tower_block(x, mask, *ps, bp3, bh3, bf3, seed_arg,
+                           B, T, HEADS, RATE, EPS, use_prng, False)
+
+    z_p = jax.jit(functools.partial(tower_f, use_prng=True))(
+        params12, dummy, dummy, dummy, seed_arg=seed)
+    bits3 = dumpL(seed)
+    z_h = jax.jit(functools.partial(tower_f, use_prng=False))(
+        params12, *bits3, seed_arg=jnp.zeros((1, 1), jnp.int32))
+    assert (np.asarray(z_p) == np.asarray(z_h)).all(), \
+        "tower prng mode != host mode with the extracted bit stream"
+
+    def loss_t(ps, bp3, bh3, bf3, seed_arg, use_prng):
+        return jnp.sum(tower_f(ps, bp3, bh3, bf3, seed_arg, use_prng)
+                       * jnp.asarray(C))
+
+    g_p = jax.jit(jax.grad(functools.partial(loss_t, use_prng=True)))(
+        params12, dummy, dummy, dummy, seed_arg=seed)
+    g_h = jax.jit(jax.grad(functools.partial(loss_t, use_prng=False)))(
+        params12, *bits3, seed_arg=jnp.zeros((1, 1), jnp.int32))
+    for i, (gp, gh) in enumerate(zip(g_p, g_h)):
+        assert (np.asarray(gp) == np.asarray(gh)).all(), \
+            f"tower dparam[{i}] differs between prng and replayed mode"
+    print("tower prng == replayed host bits (values + all 12 param "
+          "grads, bit-identical): PASS")
     print("verify_block_prng: ALL PASS")
 
 
