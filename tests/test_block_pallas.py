@@ -255,6 +255,9 @@ def test_attn_kernel_dropout_matches_mirror_values_and_grads():
 
 
 def test_kernel_dropout_keep_fraction():
+    """Recover the mask the KERNEL actually applied from its output and
+    check it element-for-element against the documented bits >= threshold
+    definition (plus the keep-fraction statistic)."""
     eps = 1e-12
     x2 = jnp.ones((B * T, H), jnp.float32)
     w1 = jnp.zeros((H, 1024))
@@ -264,13 +267,18 @@ def test_kernel_dropout_keep_fraction():
     g = jnp.ones((H,))
     b_ = jnp.zeros((H,))
     bits = jax.random.bits(jax.random.PRNGKey(9), (B * T, H), jnp.uint32)
-    # recover the dropped tensor from the pre-LN residual: r = x + drop(1)
-    z = ffn_block(x2, w1, c1, w2, c2, g, b_, bits,
-                  jnp.zeros((1, 1), jnp.int32), RATE, eps, False, True)
-    # instead measure directly through the mirror's mask definition
-    keep = np.asarray(bits >= _thr(RATE)).mean()
-    assert abs(keep - (1 - RATE)) < 0.02
-    assert np.isfinite(np.asarray(z)).all()
+    # residual r = x + drop(1) = 1 + {1/(1-RATE) kept, 0 dropped}; after the
+    # per-row LN (g=1, b=0) kept elements sit strictly above the row mean and
+    # dropped ones strictly below, so sign(z) IS the kernel's mask (each row
+    # mixes both values: P(uniform row) ~ (3/4)^256 ~ 0).
+    z = np.asarray(ffn_block(x2, w1, c1, w2, c2, g, b_, bits,
+                             jnp.zeros((1, 1), jnp.int32), RATE, eps,
+                             False, True))
+    assert np.isfinite(z).all()
+    kernel_keep = z > 0.0
+    expected_keep = np.asarray(bits >= _thr(RATE))
+    np.testing.assert_array_equal(kernel_keep, expected_keep)
+    assert abs(kernel_keep.mean() - (1 - RATE)) < 0.02
 
 
 def test_text_encoder_fused_block_composes_with_fused_dropout():
@@ -392,3 +400,26 @@ def test_fused_block_falls_back_for_preln():
         params = enc.init(jax.random.PRNGKey(0), ids, mask)
     words, sent = enc.apply(params, ids, mask, True)
     assert np.isfinite(np.asarray(words, np.float32)).all()
+
+
+def test_fused_block_gate_requires_d_head_64():
+    """blip (8 heads, d_head=96) must fall back to the unfused path: the
+    kernels are only validated for d_head == 64 lane slices (ADVICE r3)."""
+    enc = tb.TextEncoder(bert_type="blip", dtype=jnp.float32,
+                         fused_block="both")
+    ids = jnp.zeros((2, 8), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    with pytest.warns(UserWarning, match="d_head"):
+        params = enc.init(jax.random.PRNGKey(0), ids, mask)
+        words, sent = enc.apply(params, ids, mask)
+    assert np.isfinite(np.asarray(words, np.float32)).all()
+    assert sent.shape == (2, 768)
+
+
+def test_fused_block_rejects_unknown_mode():
+    enc = tb.TextEncoder(bert_type="bert", dtype=jnp.float32,
+                         fused_block="towre")
+    ids = jnp.zeros((2, 8), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    with pytest.raises(ValueError, match="towre"):
+        enc.init(jax.random.PRNGKey(0), ids, mask)

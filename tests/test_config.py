@@ -76,3 +76,17 @@ def test_celeba_cfg_variants_load():
     te = load_yaml(os.path.join(root, "cfg", "test_celeba.yml"))
     assert te.test_sub == 1217         # prep step 3 test identities
     assert te.fusion_type == "fcfm"
+
+
+def test_enum_fields_validated_at_construction():
+    """A typo in a closed string enum must fail loudly (ADVICE r3): e.g.
+    fused_block='towre' used to pass every gate and silently run unfused."""
+    from text_guided_face_recognition_tpu.config import TGFRConfig
+    with pytest.raises(ValueError, match="fused_block"):
+        TGFRConfig().replace(fused_block="towre")
+    with pytest.raises(ValueError, match="prng_impl"):
+        TGFRConfig().replace(prng_impl="rgb")
+    with pytest.raises(ValueError, match="adam_moments_dtype"):
+        TGFRConfig().replace(adam_moments_dtype="fp16")
+    # valid values still construct
+    TGFRConfig().replace(fused_block="tower", prng_impl="threefry2x32")

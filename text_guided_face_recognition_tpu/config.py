@@ -226,6 +226,24 @@ class TGFRConfig:
             return extras[name]
         raise AttributeError(f"TGFRConfig has no field {name!r}")
 
+    def __post_init__(self) -> None:
+        # Closed string enums: a typo must fail loudly at construction, not
+        # silently select a fallback path (e.g. fused_block='towre' would
+        # otherwise pass every gate and run fully unfused while the user
+        # believes the megakernels are on).
+        _enums = {
+            "fused_block": ("none", "ffn", "attn", "both", "tower"),
+            "prng_impl": ("rbg", "threefry2x32"),
+            "adam_moments_dtype": ("float32", "bfloat16"),
+            "grads_dtype": ("float32", "bfloat16"),
+            "compute_dtype": ("float32", "bfloat16"),
+        }
+        for name, allowed in _enums.items():
+            val = getattr(self, name)
+            if val not in allowed:
+                raise ValueError(
+                    f"{name}={val!r} is not one of {allowed}")
+
     # -- construction -------------------------------------------------------
 
     @classmethod

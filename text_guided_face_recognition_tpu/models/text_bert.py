@@ -448,12 +448,25 @@ class TransformerEncoder(nn.Module):
                  deterministic: bool = True) -> jnp.ndarray:
         a = self.arch
         fb = self.fused_block
-        if fb != "none" and (a.style != "postln" or a.act != "gelu"):
+        _FB_MODES = ("none", "ffn", "attn", "both", "tower")
+        if fb not in _FB_MODES:
+            # A typo ('towre', 'all', ...) must not silently run unfused
+            # while the user believes the megakernels are on.
+            raise ValueError(
+                f"fused_block={fb!r} is not one of {_FB_MODES}")
+        if fb != "none" and (a.style != "postln" or a.act != "gelu"
+                             or a.hidden // a.heads != 64):
+            # The Pallas kernels are validated only for post-LN gelu towers
+            # with d_head == 64 (bert/align): 64-wide lane slices are the
+            # only per-head layout verified to lower in Mosaic
+            # (ops/block_pallas.py). blip (8 heads, d_head=96) stays on the
+            # unfused path until validated on-chip.
             import warnings
             warnings.warn(
-                f"fused_block={fb!r} supports post-LN gelu archs only "
-                f"(bert/align/blip); falling back to the unfused path for "
-                f"style={a.style!r} act={a.act!r}")
+                f"fused_block={fb!r} supports post-LN gelu archs with "
+                f"d_head == 64 only (bert/align); falling back to the "
+                f"unfused path for style={a.style!r} act={a.act!r} "
+                f"d_head={a.hidden // a.heads}")
             fb = "none"
         b, t = input_ids.shape
         plan = None
