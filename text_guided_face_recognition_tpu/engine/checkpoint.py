@@ -21,8 +21,8 @@ from typing import Any, Dict, Optional
 
 import orbax.checkpoint as ocp
 
-__all__ = ["save_checkpoint", "load_checkpoint", "checkpoint_exists",
-           "prune_checkpoints"]
+__all__ = ["save_checkpoint", "load_checkpoint", "load_train_state",
+           "checkpoint_exists", "prune_checkpoints"]
 
 
 def save_checkpoint(path: str, tree: Dict[str, Any]) -> str:
@@ -104,6 +104,57 @@ def load_checkpoint(path: str, like: Optional[Dict[str, Any]] = None,
         # legacy layout (pre-qkv-fusion): raw-restore, migrate, re-fit
         full = ckptr.restore(path)
         return _cast_like(like, migrate_legacy_qkv(full))
+
+
+def load_train_state(path: str, like: Dict[str, Any], args, tx_maker,
+                     params: Dict[str, Any], group_of) -> Dict[str, Any]:
+    """Restore a full train-state artifact (save_state layout), migrating
+    legacy OPTIMIZER-STATE formats when the stored tree predates the r3
+    optimizer defaults (DEVIATIONS #21: `stacked_optimizer` bucket layout +
+    `adam_moments_dtype: bfloat16` changed the opt-state tree; r1/r2
+    checkpoints hold per-leaf multi_transform state with fp32 moments).
+
+    Tries the current format first; on mismatch, restores against each
+    shipped legacy layout (engine/optim.legacy_tx_variants) and carries LRs,
+    step counts, Adam moments (re-stacked/re-cast), and SGD traces into the
+    current format (engine/optim.convert_legacy_opt_state). Raises a
+    diagnosis naming the knobs if no known format fits."""
+    import jax
+
+    from text_guided_face_recognition_tpu.engine.optim import (
+        convert_legacy_opt_state, legacy_tx_variants)
+
+    try:
+        return load_checkpoint(path, like=like)
+    except Exception as base_err:  # noqa: BLE001 — orbax raises varied types
+        errors = [f"current format: {type(base_err).__name__}: {base_err}"]
+    max_elems = (int(getattr(args, "stack_max_elems", 0) or 0)
+                 if getattr(args, "stacked_optimizer", False) else 0)
+    for name, ltx in legacy_tx_variants(args, tx_maker):
+        legacy_like = dict(like)
+        legacy_like["opt_state"] = jax.eval_shape(ltx.init, params)
+        try:
+            tree = load_checkpoint(path, like=legacy_like)
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"{name}: {type(e).__name__}")
+            continue
+        tree["opt_state"] = convert_legacy_opt_state(
+            tree["opt_state"], like["opt_state"], params, group_of,
+            max_elems)
+        print(f"checkpoint {path}: migrated legacy optimizer state "
+              f"[{name}] to the current format (stacked_optimizer="
+              f"{getattr(args, 'stacked_optimizer', False)}, "
+              f"adam_moments_dtype="
+              f"{getattr(args, 'adam_moments_dtype', 'float32')})")
+        return tree
+    raise ValueError(
+        f"checkpoint {path} matches no known train-state format.\n"
+        f"Its optimizer state fits neither the current layout nor the "
+        f"legacy per-leaf formats. If it was written under non-default "
+        f"optimizer knobs, set `stacked_optimizer` / `stack_max_elems` / "
+        f"`adam_moments_dtype` / `apply_grad_clip` back to the values used "
+        f"when it was saved and resume with those.\nAttempts:\n  " +
+        "\n  ".join(errors))
 
 
 def prune_checkpoints(save_dir: str, keep_last: int) -> None:

@@ -530,6 +530,164 @@ def _stage2_group(name: str) -> str:
     return "head"  # text_head, image_head, fusion_net
 
 
+# --------------------------------------------------- legacy-state migration --
+
+
+def _walk_states(node, typename: str, out: list) -> None:
+    """Collect every namedtuple node whose type name is `typename`
+    (depth-first; optax states are namedtuples over dicts/tuples)."""
+    if hasattr(node, "_fields"):
+        if type(node).__name__ == typename:
+            out.append(node)
+        for f in node._fields:
+            _walk_states(getattr(node, f), typename, out)
+    elif isinstance(node, dict):
+        for v in node.values():
+            _walk_states(v, typename, out)
+    elif isinstance(node, (list, tuple)):
+        for v in node:
+            _walk_states(v, typename, out)
+
+
+def _find_one(node, typename: str):
+    found: list = []
+    _walk_states(node, typename, found)
+    if len(found) > 1:
+        raise ValueError(f"expected at most one {typename} per optimizer "
+                         f"group, found {len(found)}")
+    return found[0] if found else None
+
+
+def _rebuild_states(node, fixes: Dict[str, Callable[[Any], Any]]):
+    """Functionally rebuild a state tree, applying fixes[typename] to each
+    matching namedtuple node (children first)."""
+    if hasattr(node, "_fields"):
+        new = type(node)(**{f: _rebuild_states(getattr(node, f), fixes)
+                            for f in node._fields})
+        fix = fixes.get(type(node).__name__)
+        return fix(new) if fix else new
+    if isinstance(node, dict):
+        return {k: _rebuild_states(v, fixes) for k, v in node.items()}
+    if isinstance(node, tuple):
+        return tuple(_rebuild_states(v, fixes) for v in node)
+    if isinstance(node, list):
+        return [_rebuild_states(v, fixes) for v in node]
+    return node
+
+
+def _refit_leaves(legacy_tree, fresh_tree, group_params, max_elems: int):
+    """Re-layout a legacy per-leaf moment/trace tree onto the fresh state's
+    representation (per-leaf masked tree OR stacked bucket dict), casting
+    each leaf to the fresh dtype (fp32 -> bf16 moments)."""
+    import jax
+    tu = jax.tree_util
+    legacy_leaves = tu.tree_leaves(legacy_tree)  # MaskedNodes have no leaves
+    # If the fresh state is the stacked bucket layout, its structure equals
+    # _stack_tree over the group's params: rebuild the per-leaf tree and
+    # stack it with the same bucket rule (bucket dicts are name-sorted, so
+    # leaf-count equality alone would mismap singleton buckets).
+    per_leaf = tu.tree_unflatten(tu.tree_structure(group_params),
+                                 legacy_leaves)
+    stacked = _stack_tree(per_leaf, max_elems)
+    if tu.tree_structure(fresh_tree) == tu.tree_structure(stacked):
+        return jax.tree_util.tree_map(
+            lambda f, s: jnp.asarray(s, f.dtype), fresh_tree, stacked)
+    # per-leaf fresh layout (multi_transform masked tree): same full-tree
+    # leaf order as the legacy masked tree
+    fresh_leaves = tu.tree_leaves(fresh_tree)
+    if len(fresh_leaves) != len(legacy_leaves):
+        raise ValueError(
+            f"cannot refit moment tree: {len(legacy_leaves)} legacy leaves "
+            f"vs {len(fresh_leaves)} target leaves")
+    return tu.tree_unflatten(
+        tu.tree_structure(fresh_tree),
+        [jnp.asarray(l, f.dtype)
+         for f, l in zip(fresh_leaves, legacy_leaves)])
+
+
+def legacy_tx_variants(args, tx_maker) -> list:
+    """The optimizer-state formats this repo has shipped, for resume
+    migration (DEVIATIONS #21): r1/r2 checkpoints hold per-leaf
+    optax.multi_transform state with fp32 Adam moments (grad clip on by
+    default in r2, off in early r1 experiments)."""
+    out = []
+    for clip in (True, False):
+        la = args.replace(stacked_optimizer=False, fused_optimizer=False,
+                          lazy_embedding_adam=False,
+                          adam_moments_dtype="float32",
+                          apply_grad_clip=clip)
+        out.append((f"r2-multi_transform(clip={'on' if clip else 'off'})",
+                    tx_maker(la)))
+    return out
+
+
+def convert_legacy_opt_state(legacy, fresh, params,
+                             group_of: Callable[[str], str],
+                             max_elems: int):
+    """Carry a restored legacy optimizer state (per-leaf multi_transform
+    layout) into the CURRENT state format `fresh` (= tx.init(params) under
+    today's config): per-group learning rates, Adam/inject step counts, Adam
+    moments (re-stacked + recast as needed), and SGD momentum traces all
+    transfer; everything else keeps the fresh initialization."""
+    import jax
+
+    def group_states(state):
+        if isinstance(state, dict):                      # stacked/fused
+            return dict(state)
+        return {g: w.inner_state if type(w).__name__ == "MaskedState" else w
+                for g, w in state.inner_states.items()}  # multi_transform
+
+    legacy_groups = group_states(legacy)
+    fresh_groups = group_states(fresh)
+    if set(legacy_groups) != set(fresh_groups):
+        raise ValueError(f"optimizer groups differ: legacy "
+                         f"{sorted(legacy_groups)} vs {sorted(fresh_groups)}")
+    parts = _partition(params, group_of)
+
+    new_groups = {}
+    for g, lg in legacy_groups.items():
+        fg = fresh_groups[g]
+        # optax names the inject_hyperparams state either
+        # InjectHyperparamsState or InjectStatefulHyperparamsState
+        # depending on version/statefulness — match both.
+        inj_names = ("InjectHyperparamsState",
+                     "InjectStatefulHyperparamsState")
+        l_inj = next((s for n in inj_names
+                      if (s := _find_one(lg, n)) is not None), None)
+        l_adam = _find_one(lg, "ScaleByAdamState")
+        l_trace = _find_one(lg, "TraceState")
+        fixes: Dict[str, Callable[[Any], Any]] = {}
+        if l_inj is not None:
+            def fix_inj(n, l=l_inj):
+                hp = dict(n.hyperparams)
+                hp["learning_rate"] = jnp.asarray(
+                    l.hyperparams["learning_rate"], jnp.float32)
+                return n._replace(count=jnp.asarray(l.count, n.count.dtype),
+                                  hyperparams=hp)
+            for nm in inj_names:
+                fixes[nm] = fix_inj
+        if l_adam is not None:
+            def fix_adam(n, l=l_adam, gp=parts.get(g, {})):
+                return n._replace(
+                    count=jnp.asarray(l.count, n.count.dtype),
+                    mu=_refit_leaves(l.mu, n.mu, gp, max_elems),
+                    nu=_refit_leaves(l.nu, n.nu, gp, max_elems))
+            fixes["ScaleByAdamState"] = fix_adam
+        if l_trace is not None:
+            def fix_trace(n, l=l_trace, gp=parts.get(g, {})):
+                return n._replace(
+                    trace=_refit_leaves(l.trace, n.trace, gp, max_elems))
+            fixes["TraceState"] = fix_trace
+        new_groups[g] = _rebuild_states(fg, fixes)
+
+    if isinstance(fresh, dict):
+        return new_groups
+    wrapped = {g: (w._replace(inner_state=new_groups[g])
+                   if type(w).__name__ == "MaskedState" else new_groups[g])
+               for g, w in fresh.inner_states.items()}
+    return fresh._replace(inner_states=wrapped)
+
+
 def set_lr(opt_state, group: str, lr: float):
     """Return a new optimizer state with one group's learning rate set
     (host-side, between epochs — mirrors the reference's scheduler.step()).

@@ -299,13 +299,15 @@ class FusionTrainer:
 
     def resume_from(self, path: str):
         from text_guided_face_recognition_tpu.engine.checkpoint import (
-            load_checkpoint)
+            load_train_state)
         like = {"params": self.state.params,
                 "batch_stats": self.state.batch_stats,
                 "opt_state": self.state.opt_state,
                 "meta": {"epoch": jnp.asarray(0),
                          "lr": {k: jnp.asarray(v) for k, v in self.lr.items()}}}
-        tree = load_checkpoint(path, like=like)
+        tree = load_train_state(
+            path, like, self.args, optim.make_stage2_tx,
+            self.state.params, optim._stage2_group)
         self.state = TrainState(params=tree["params"],
                                 batch_stats=tree["batch_stats"],
                                 opt_state=tree["opt_state"],
