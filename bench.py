@@ -14,7 +14,13 @@ k=4 vs k=24), which (a) cancels dispatch/readiness overhead exactly and
 Python loop of async dispatches returns before chained executions retire
 (it under-reported this step ~5x; see docs/BENCHMARKS.md "Methodology").
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints THREE JSON lines (one per perf surface, VERDICT r3 #5): stage-2
+FCFM-BERT train step (reference batch 16), the fused verification forward at
+the measured 256-pair eval recommendation, and LAST the flagship stage-1
+line {"metric", "value", "unit", "vs_baseline"} (last so the driver's
+single-line parse keeps recording the headline metric). The flagship is
+MEASURED first — in a long-lived process later measurements inherit a
+churned host (the bench_all.py caveat) — and printed last.
 
 vs_baseline: the reference repo publishes no numbers (BASELINE.md), so the
 baseline is an engineering estimate of the reference stage-1 throughput on
@@ -98,6 +104,35 @@ def spmd_main():
         "loss_finite": bool(np.isfinite(loss)),
     }))
 
+    # batch-sharded eval forward on the same mesh (VERDICT r3 #1): the
+    # fused verification forward with pair batches sharded over 'data' —
+    # correctness-scale artifact that the sharded eval path executes
+    # multi-device (the reference's eval runs under DataParallel)
+    from text_guided_face_recognition_tpu.engine import evaluate as ev
+    from text_guided_face_recognition_tpu.engine import prepare as prep
+    evargs = args.replace(num_devices=n, batch_size=B)
+    bb = prep.prepare_backbone(evargs)
+    bb_vars = ev._replicate_tree(bb.variables, mesh)
+    img1 = np.asarray(batch["img"])
+    img2 = img1[::-1].copy()
+    (d1,), _ = ev._shard_eval([img1], mesh)
+    (d2,), _ = ev._shard_eval([img2], mesh)
+    out = ev._raw_pair_scores(bb.module, evargs.model_type, bb_vars, d1, d2)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = ev._raw_pair_scores(bb.module, evargs.model_type, bb_vars,
+                                  d1, d2)
+    last = float(np.asarray(out)[0])  # value fetch = execution fence
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "eval_forward_sharded_cpu8",
+        "value": round(steps * B / dt, 2),
+        "unit": "pairs/s (8-device virtual CPU mesh; correctness-scale)",
+        "sharded_devices": len(out.sharding.device_set),
+        "score_finite": bool(np.isfinite(last)),
+    }))
+
 
 def main():
     import os
@@ -152,12 +187,67 @@ def main():
                             ks=ks, repeats=6,
                             compiler_options=resolve_xla_opts(args.xla_opts))
     pairs_per_sec_per_chip = B / (ms / 1000.0) / jax.device_count()
-    print(json.dumps({
+    flagship_line = json.dumps({
         "metric": "stage1_bert_train_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec_per_chip, 2),
         "unit": "pairs/s/chip",
         "vs_baseline": round(pairs_per_sec_per_chip / BASELINE_PAIRS_PER_SEC, 3),
+    })
+
+    # ---- stage-2 FCFM-BERT train step (reference batch, cfg/fusion_bert.yml)
+    from text_guided_face_recognition_tpu.engine.stage2 import FusionTrainer
+    B2 = 16
+    fargs = TGFRConfig().replace(
+        en_type="BERT", bert_type="bert", synthetic=True, batch_size=B2,
+        num_workers=2, max_epoch=1, fusion_type="fcfm", CONFIG_NAME="Fusion")
+    ftrainer = FusionTrainer(fargs)
+    fbatch = {
+        "img": jnp.asarray(rng.normal(size=(B2, 112, 112, 3)).astype(np.float32)),
+        "caps": jnp.asarray(rng.integers(1000, 30000, (B2, 24)).astype(np.int32)),
+        "mask": jnp.ones((B2, 24), jnp.int32),
+        "cls_id": jnp.asarray(rng.integers(0, 4500, B2).astype(np.int32)),
+    }
+    ffrozen = ftrainer.backbone.variables
+
+    def finner(state, key):
+        state, m = ftrainer._train_step_fn(state, fbatch, ffrozen, key)
+        return state, m["loss"]
+
+    fms = time_chained_steps(finner, ftrainer.state, ftrainer._dropout_key,
+                             ks=ks, repeats=5)
+    print(json.dumps({
+        "metric": "stage2_fcfm_bert_train_pairs_per_sec_per_chip",
+        "value": round(B2 / fms * 1000.0 / jax.device_count(), 2),
+        "unit": "pairs/s/chip", "ms_per_step": round(fms, 3),
     }))
+
+    # ---- fused verification forward (test.py path) at the 256-pair eval
+    # batch (the measured recommendation, docs/BENCHMARKS.md)
+    import __graft_entry__ as G
+    from text_guided_face_recognition_tpu.utils.benching import (
+        time_chained_forward)
+    fwd, ex = G.entry()
+    variables, img1, img2, ids1, ids2, mask1, mask2 = ex
+
+    def fwd_img_first(i1, v, i2, a, b, c, d):
+        return fwd(v, i1, i2, a, b, c, d)
+
+    def tile(x, n):
+        return jnp.tile(x, (n,) + (1,) * (x.ndim - 1))
+
+    mult = 32  # 8-pair entry batch * 32 = 256 pairs/call
+    eargs = (tile(img1, mult), variables, tile(img2, mult), tile(ids1, mult),
+             tile(ids2, mult), tile(mask1, mult), tile(mask2, mult))
+    ems = time_chained_forward(fwd_img_first, eargs, ks=ks, repeats=5)
+    b_eval = img1.shape[0] * mult
+    print(json.dumps({
+        "metric": "verification_forward_b256_pairs_per_sec_per_chip",
+        "value": round(b_eval / ems * 1000.0 / jax.device_count(), 2),
+        "unit": "pairs/s/chip", "ms_per_step": round(ems, 3),
+    }))
+
+    # flagship LAST: the driver parses the final JSON line as the headline
+    print(flagship_line)
 
 
 if __name__ == "__main__":

@@ -11,6 +11,17 @@ static arguments are the flax modules themselves (hashable by value) and the
 config strings that pick the graph; parameters/variables are traced arguments.
 Repeated validation calls during training therefore hit jax's own trace cache
 instead of re-tracing a fresh closure every call.
+
+Parallelism: the reference evaluates under nn.DataParallel (every module is
+DataParallel-wrapped in utils/prepare.py:58 and the test loop in
+utils/modules.py:92-168 runs multi-GPU). The TPU-native counterpart shards
+each pair batch over the 1-D "data" mesh axis (parallel/mesh.py) with
+parameters replicated: batches are padded up to a multiple of the mesh size
+(scores for the padding rows are trimmed on the host — every per-pair
+computation is sample-independent, so padding is exact), device_put with
+P("data"), and the SAME module-level jitted forwards compile into SPMD
+programs. `num_devices` in the config selects the mesh (0 = all visible
+devices, matching DataParallel's all-GPUs default).
 """
 
 from __future__ import annotations
@@ -28,7 +39,51 @@ from text_guided_face_recognition_tpu.utils.metrics import (
     calculate_scores,
 )
 
-__all__ = ["validate_concat", "run_test", "org_face_test", "cosine_pairs"]
+__all__ = ["validate_concat", "run_test", "org_face_test", "cosine_pairs",
+           "eval_mesh"]
+
+
+def eval_mesh(args):
+    """The eval-time data mesh (or None when one device would be used).
+
+    Mirrors the reference's DataParallel default of using every visible GPU
+    (reference: utils/prepare.py:58): `num_devices` <= 0 means all visible
+    devices. Unlike the train-side make_data_mesh, no divisibility
+    constraint — eval batches are padded to the mesh size (_shard_eval)."""
+    from text_guided_face_recognition_tpu.parallel.mesh import make_mesh
+    n = int(getattr(args, "num_devices", 0) or 0)
+    avail = jax.device_count()
+    n = avail if n <= 0 else min(n, avail)
+    return make_mesh(n) if n > 1 else None
+
+
+def _replicate_tree(tree, mesh):
+    """device_put a variable/param tree replicated over the mesh (once per
+    eval run, not per batch)."""
+    if mesh is None or tree is None:
+        return tree
+    from text_guided_face_recognition_tpu.parallel.mesh import replicated
+    return jax.device_put(tree, replicated(mesh))
+
+
+def _shard_eval(arrays, mesh):
+    """Pad each array's leading axis up to a multiple of the mesh size (by
+    repeating row 0 — values are discarded) and device_put batch-sharded.
+    Returns (sharded_arrays, real_n)."""
+    n = int(arrays[0].shape[0])
+    if mesh is None:
+        return [jnp.asarray(a) for a in arrays], n
+    from text_guided_face_recognition_tpu.parallel.mesh import batch_sharding
+    size = mesh.size
+    padded = ((n + size - 1) // size) * size
+    sh = batch_sharding(mesh)
+    out = []
+    for a in arrays:
+        a = np.asarray(a)
+        if padded != n:
+            a = np.concatenate([a, np.repeat(a[:1], padded - n, axis=0)])
+        out.append(jax.device_put(a, sh))
+    return out, n
 
 
 def cosine_pairs(out1: jnp.ndarray, out2: jnp.ndarray,
@@ -114,14 +169,16 @@ def _global_feats(bb_mod, model_type, frozen_vars, img):
     return g
 
 
-def _score_loop(args, dl, fwd) -> Dict[str, list]:
+def _score_loop(args, dl, fwd, mesh=None) -> Dict[str, list]:
     preds, labels = [], []
     xk = ("mask1", "mask2") if args.en_type == "BERT" else \
          ("cap_len1", "cap_len2")
     for batch in dl:
-        pred = fwd(batch["img1"], batch["img2"], batch["cap1"], batch["cap2"],
-                   batch[xk[0]], batch[xk[1]])
-        preds += np.asarray(pred).tolist()
+        arrs, n = _shard_eval(
+            [batch["img1"], batch["img2"], batch["cap1"], batch["cap2"],
+             batch[xk[0]], batch[xk[1]]], mesh)
+        pred = fwd(*arrs)
+        preds += np.asarray(pred)[:n].tolist()
         labels += np.asarray(batch["pair_label"]).tolist()
     return preds, labels
 
@@ -130,17 +187,23 @@ def validate_concat(args, valid_dl, backbone, image_head_mod, ih_params,
                     ih_stats, text_encoder_mod, te_params,
                     text_head_mod, th_params) -> Dict[str, float]:
     """Stage-1 validation: concat(global_img_proj, sent) cosine verification
-    (reference: src/train_encoders_bert.py:348-395)."""
-    ih_vars = {"params": ih_params, "batch_stats": ih_stats}
+    (reference: src/train_encoders_bert.py:348-395). Batch-sharded over the
+    eval mesh when more than one device is visible."""
+    mesh = eval_mesh(args)
+    ih_vars = _replicate_tree({"params": ih_params, "batch_stats": ih_stats},
+                              mesh)
+    bb_vars = _replicate_tree(backbone.variables, mesh)
+    te_params = _replicate_tree(te_params, mesh)
+    th_params = _replicate_tree(th_params, mesh)
 
     def fwd(img1, img2, cap1, cap2, x1, x2):
         return _pair_scores(
             backbone.module, image_head_mod, text_encoder_mod,
             text_head_mod, None, args.en_type, args.model_type, "concat",
-            backbone.variables, ih_vars, te_params, th_params, {},
+            bb_vars, ih_vars, te_params, th_params, {},
             img1, img2, cap1, cap2, x1, x2)
 
-    preds, labels = _score_loop(args, valid_dl, fwd)
+    preds, labels = _score_loop(args, valid_dl, fwd, mesh)
     return calculate_scores(preds, labels, args)
 
 
@@ -149,21 +212,28 @@ def run_test(args, test_dl, backbone, image_head, fusion_net,
     """Full eval with fusion dispatch (reference: utils/modules.py:92-168).
 
     `image_head`, `fusion_net`, `text_encoder`, `text_head` are prepare.Bundle
-    objects (fusion_net/text_head may be None for concat / LSTM)."""
-    te_params = text_encoder.variables["params"]
-    th_params = text_head.variables["params"] if text_head is not None else {}
+    objects (fusion_net/text_head may be None for concat / LSTM).
+    Batch-sharded over the eval mesh when more than one device is visible
+    (the reference evals under DataParallel)."""
+    mesh = eval_mesh(args)
+    te_params = _replicate_tree(text_encoder.variables["params"], mesh)
+    th_params = _replicate_tree(
+        text_head.variables["params"] if text_head is not None else {}, mesh)
     th_mod = text_head.module if text_head is not None else None
     fu_mod = fusion_net.module if fusion_net is not None else None
-    fu_vars = fusion_net.variables if fusion_net is not None else {}
+    fu_vars = _replicate_tree(
+        fusion_net.variables if fusion_net is not None else {}, mesh)
+    bb_vars = _replicate_tree(backbone.variables, mesh)
+    ih_vars = _replicate_tree(image_head.variables, mesh)
 
     def fwd(img1, img2, cap1, cap2, x1, x2):
         return _pair_scores(
             backbone.module, image_head.module, text_encoder.module,
             th_mod, fu_mod, args.en_type, args.model_type, args.fusion_type,
-            backbone.variables, image_head.variables, te_params, th_params,
+            bb_vars, ih_vars, te_params, th_params,
             fu_vars, img1, img2, cap1, cap2, x1, x2)
 
-    preds, labels = _score_loop(args, test_dl, fwd)
+    preds, labels = _score_loop(args, test_dl, fwd, mesh)
 
     if args.is_ident:
         calculate_identification_acc(preds, args)
@@ -182,8 +252,12 @@ def get_img_features_dict(args, backbone) -> Dict[str, np.ndarray]:
     names = sorted({p.split(" ")[0] for p in pairs} |
                    {p.split(" ")[1].strip() for p in pairs})
 
+    mesh = eval_mesh(args)
+    bb_vars = _replicate_tree(backbone.variables, mesh)
     feats: Dict[str, np.ndarray] = {}
     bs = max(int(args.batch_size), 1)
+    if mesh is not None:  # keep the single static shape mesh-divisible
+        bs = ((bs + mesh.size - 1) // mesh.size) * mesh.size
     for i in range(0, len(names), bs):
         chunk = names[i:i + bs]
         imgs = np.stack([
@@ -194,8 +268,9 @@ def get_img_features_dict(args, backbone) -> Dict[str, np.ndarray]:
         pad = bs - len(chunk)
         if pad:
             imgs = np.concatenate([imgs, np.zeros_like(imgs[:pad])])
+        (dev_imgs,), _ = _shard_eval([imgs], mesh)
         out = np.asarray(_global_feats(backbone.module, args.model_type,
-                                       backbone.variables, jnp.asarray(imgs)))
+                                       bb_vars, dev_imgs))
         for n, f in zip(chunk, out):
             feats[n] = f
     return feats
@@ -203,13 +278,16 @@ def get_img_features_dict(args, backbone) -> Dict[str, np.ndarray]:
 
 def org_face_test(args, test_dl, backbone) -> Dict[str, float]:
     """COTS baseline: cosine on raw backbone global features, no text
-    (reference: src/org_face_test.py:17-58)."""
+    (reference: src/org_face_test.py:17-58). Batch-sharded over the eval
+    mesh like run_test."""
+    mesh = eval_mesh(args)
+    bb_vars = _replicate_tree(backbone.variables, mesh)
     preds, labels = [], []
     for batch in test_dl:
+        arrs, n = _shard_eval([batch["img1"], batch["img2"]], mesh)
         pred = _raw_pair_scores(backbone.module, args.model_type,
-                                backbone.variables, batch["img1"],
-                                batch["img2"])
-        preds += np.asarray(pred).tolist()
+                                bb_vars, *arrs)
+        preds += np.asarray(pred)[:n].tolist()
         labels += np.asarray(batch["pair_label"]).tolist()
     if args.is_ident:
         calculate_identification_acc(preds, args)
