@@ -90,3 +90,17 @@ def test_enum_fields_validated_at_construction():
         TGFRConfig().replace(adam_moments_dtype="fp16")
     # valid values still construct
     TGFRConfig().replace(fused_block="tower", prng_impl="threefry2x32")
+
+
+def test_production_cfg_variants_load():
+    """cfg/train_bert_b64.yml / cfg/fusion_bert_b128.yml: the measured
+    production batches (docs/BENCHMARKS.md) with sqrt-rescaled LRs."""
+    tr = load_yaml("cfg/train_bert_b64.yml")
+    assert tr.batch_size == 64
+    assert tr.init_lr_bert == pytest.approx(1e-4)
+    assert tr.min_lr_bert == pytest.approx(2.8e-5)
+    assert tr.lr_head == pytest.approx(1.4e-3)
+    fu = load_yaml("cfg/fusion_bert_b128.yml")
+    assert fu.batch_size == 128
+    assert fu.lr_image_train == pytest.approx(0.28)
+    assert fu.lr_head == pytest.approx(2.8e-3)

@@ -183,3 +183,35 @@ def test_partial_fc_rejects_indivisible_classes():
 
     with pytest.raises(ValueError, match="divisible"):
         make_partial_fc_fusion_step(_FakeTrainer(), make_mesh(8))
+
+
+@pytest.mark.slow
+def test_partial_fc_at_100k_classes(rng):
+    """Stress at a realistic identity count (VERDICT r3 #7): 131,072 classes
+    at reduced dim on the 8-device mesh. The W shard each device holds must
+    be exactly total/8 bytes (read from the REAL addressable shards), the
+    value+grad step must run finite, and the loss must equal the dense
+    single-device head."""
+    from jax.sharding import NamedSharding
+
+    c, d, b = 131072, 64, 16
+    mesh = make_mesh(8)
+    emb, w, label = _data(rng, b=b, d=d, c=c)
+    w_sh = jax.device_put(w, NamedSharding(mesh, P("data", None)))
+    shard_bytes = {s.data.nbytes for s in w_sh.addressable_shards}
+    assert shard_bytes == {w_sh.nbytes // 8}
+
+    f = _sharded_loss_fn(mesh, head="arcface")
+    emb_sh = jax.device_put(emb, NamedSharding(mesh, P("data")))
+    lab_sh = jax.device_put(label, NamedSharding(mesh, P("data")))
+
+    @jax.jit
+    def step(e, ww, l):
+        return jax.value_and_grad(lambda w_: f(e, w_, l))(ww)
+
+    loss, gw = step(emb_sh, w_sh, lab_sh)
+    assert np.isfinite(float(loss))
+    # grad keeps the class sharding (each device owns its rows' exact grads)
+    assert len(gw.sharding.device_set) == 8
+    dense = _dense_loss(emb, w, label)
+    np.testing.assert_allclose(float(loss), float(dense), rtol=1e-5)
