@@ -9,13 +9,23 @@ question with a ZERO-decode loader (pre-materialized numpy batches): the
 loader costs nothing, so the only two ingredients are the h2d transfer and
 the device compute, and the three compositions bound each other:
 
+  t_h2d        per-transfer cost with a VALUE fence after every transfer
+               (upper bound: each fence adds a tunnel round trip)
+  t_h2d_pipe   all K transfers in flight, ONE dependence-forced fence (a
+               jitted reduction consuming one element of every batch) —
+               the honest pipelined wire rate
   t_serial     per-batch: transfer -> fence -> compute -> fence
                (no overlap possible; ~t_h2d + t_comp)
   t_prefetch   prefetch_to_device(size=2) -> compute, one fence at the end
-               (full overlap would give ~max(t_h2d, t_comp))
-  overlap_fraction = (t_serial - t_prefetch) / min(t_h2d, t_comp)
-               1.0 = transfer fully hidden behind compute; 0.0 = the
-               transport serializes with execution on this machine.
+               (full overlap would give ~max(t_h2d_pipe, t_comp))
+  overlap_fraction = (t_serial - t_prefetch) / (t_serial - full_overlap)
+               where full_overlap = max(t_h2d_pipe, t_comp): 1.0 = the
+               prefetched composition reaches the full-overlap bound;
+               0.0 = transport serializes with execution on this machine.
+
+Measured r4 finding (this tool, 2x16 batches, live chip): the first
+measurement in a fresh process is warm-up-contaminated (t_comp read 218 ms
+vs the honest 40 ms) — trust the --batches 16 runs, which reproduce.
 
 The compute payload is a chained 2048x2048 bf16 matmul loop fed by the
 batch (real data dependence; ~`--iters` MXU-bound iterations) sized near the
@@ -93,6 +103,21 @@ def main():
     t_h2d = (time.perf_counter() - t0) / K
     del devs
 
+    # --- t_h2d_pipe: K transfers all in flight, ONE dependence-forced fence
+    @jax.jit
+    def consume_all(xs):
+        return sum(x[0, 0, 0, 0] for x in xs)
+
+    # warm the K-ary reduction program (jit traces per list length)
+    pre = [jax.device_put(b["img"]) for b in batches]
+    fence(consume_all(pre))
+    del pre
+    t0 = time.perf_counter()
+    devs = [jax.device_put(b["img"]) for b in batches]
+    fence(consume_all(devs))
+    t_h2d_pipe = (time.perf_counter() - t0) / K
+    del devs
+
     # --- t_comp: K chained compute steps on resident data, fenced at end
     t0 = time.perf_counter()
     c = carry0
@@ -119,18 +144,22 @@ def main():
     fence(c)
     t_pre = (time.perf_counter() - t0) / K
 
-    hideable = min(t_h2d, t_comp)
-    overlap = (t_serial - t_pre) / hideable if hideable > 0 else 0.0
+    full_overlap = max(t_h2d_pipe, t_comp)
+    denom = t_serial - full_overlap
+    overlap = (t_serial - t_pre) / denom if denom > 0 else float("nan")
     print(json.dumps({
         "metric": "prefetch_overlap",
         "batch_mbytes": round(nbytes / 1e6, 2),
-        "t_h2d_ms": round(t_h2d * 1e3, 1),
+        "t_h2d_fenced_ms": round(t_h2d * 1e3, 1),
+        "t_h2d_pipelined_ms": round(t_h2d_pipe * 1e3, 1),
+        "wire_mbytes_per_sec_pipelined": round(nbytes / 1e6 / t_h2d_pipe, 1),
         "t_compute_ms": round(t_comp * 1e3, 1),
         "t_serial_ms": round(t_serial * 1e3, 1),
         "t_prefetch_ms": round(t_pre * 1e3, 1),
         "overlap_fraction": round(overlap, 3),
-        "note": ("1.0 = the cheaper of (h2d, compute) fully hidden; "
-                 "0.0 = transport serializes with execution here"),
+        "note": ("1.0 = prefetched composition reaches the full-overlap "
+                 "bound max(h2d_pipelined, compute); 0.0 = transport "
+                 "serializes with execution here"),
     }))
 
 
