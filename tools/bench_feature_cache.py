@@ -97,11 +97,17 @@ def main():
             rng.integers(1000, 30000, (B, 24)).astype(np.int32))
         batch["mask"] = jnp.ones((B, 24), jnp.int32)
 
-    # feature batch: the same images through the same frozen tower
+    # feature batch: the same images through the same frozen tower.
+    # Round-trip the features through host numpy before closing over them:
+    # embedding a TPU-resident jit OUTPUT as a tracing-time constant forces
+    # a d2h fetch during lowering that the axon tunnel rejects
+    # (InvalidArgument); host-built jnp arrays (like every other batch leaf
+    # in this harness) embed fine.
     fwd = jax.jit(lambda v, x: tr.backbone.module.apply(v, x, train=False))
     out = fwd(tr.backbone.variables, batch["img"])
     batch_feat = {k: v for k, v in batch.items() if k != "img"}
-    batch_feat["img_gl"], batch_feat["img_lc"] = out[0], out[1]
+    batch_feat["img_gl"] = jnp.asarray(np.asarray(out[0]))
+    batch_feat["img_lc"] = jnp.asarray(np.asarray(out[1]))
 
     loss_key = "total_loss" if stage != "stage2" else "loss"
     results = {}
@@ -110,10 +116,19 @@ def main():
             state, m = tr._train_step_fn(state, _b, tr.backbone.variables, k)
             return state, m[loss_key]
 
+        # Each run gets a FRESH copy of the pristine trainer state:
+        # time_chained_steps donates its state arg (matching the production
+        # jit), and through the axon tunnel a donated buffer poisons every
+        # later use of the SAME arrays — the second arm's lowering then dies
+        # with InvalidArgument on a d2h fetch. tr.state itself must never be
+        # passed into a donating run.
         st_copy = jax.tree_util.tree_map(jnp.array, tr.state)
         _, m = jax.jit(inner)(st_copy, jax.random.split(tr._dropout_key)[1])
         loss = float(m)
-        ms = time_chained_steps(inner, tr.state, tr._dropout_key, ks=ks)
+        del st_copy
+        ms = time_chained_steps(inner,
+                                jax.tree_util.tree_map(jnp.array, tr.state),
+                                tr._dropout_key, ks=ks)
         results[name] = ms
         print(json.dumps({
             "metric": f"{stage}_b{B}_step_{name}",
@@ -138,6 +153,38 @@ def main():
         "net_pairs_per_sec": round(1000.0 / net_ms, 1),
         "note": "refresh is tunnel-h2d-bound on this harness; on a TPU-VM "
                 "host the upload rides PCIe",
+    }), flush=True)
+
+    # compute-only rate of the refresh forward at the inference batch —
+    # the wall refresh above is tunnel-wire-bound on this harness; on a
+    # TPU-VM the refresh is bounded by THIS device forward instead, so the
+    # honest epoch-level net there is
+    #   steps/epoch * cached_step_ms + n / refresh_fwd_img_s
+    # vs steps/epoch * img_step_ms.
+    from text_guided_face_recognition_tpu.utils.benching import (
+        time_chained_forward)
+    pb = min(cache.batch, max(n, 1))
+    img_big = jnp.asarray(
+        rng.normal(size=(pb, a.img_size, a.img_size, 3)).astype(np.float32))
+
+    def fwd_img_first(img, v):
+        return cache._fwd(v, img)
+
+    fms = time_chained_forward(fwd_img_first,
+                               (img_big, tr.backbone.variables), ks=ks)
+    img_s = pb / fms * 1000.0
+    steps_per_epoch = max(n, 1) / B
+    net_vm_s = (steps_per_epoch * results["cached"] / 1000.0
+                + n / img_s)
+    base_vm_s = steps_per_epoch * results["img"] / 1000.0
+    print(json.dumps({
+        "metric": f"{stage}_refresh_fwd_compute_only",
+        "value": round(img_s, 1), "unit": "img/s",
+        "infer_batch": pb, "ms_per_call": round(fms, 3),
+        "tpu_vm_epoch_net_speedup": round(base_vm_s / net_vm_s, 4),
+        "note": "chained-marginal of the cache's jitted forward; the "
+                "speedup models a compute-bound host (refresh off the "
+                "step's critical path but still serial per epoch)",
     }), flush=True)
 
 
