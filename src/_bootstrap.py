@@ -36,6 +36,10 @@ def parse_args(default_cfg: str, description: str):
     parser.add_argument("--compute_dtype", type=str, default=None)
     parser.add_argument("--max_steps", type=int, default=None,
                         help="cap steps per epoch (smoke runs)")
+    parser.add_argument("--data_dir", type=str, default=None,
+                        help="override the config's dataset root (e.g. "
+                             "caption_assets/face2text for real-captions "
+                             "runs with --synthetic images)")
     args = parser.parse_args()
     return args
 

@@ -152,3 +152,25 @@ def test_dataloader_shuffle_drop_last(tmp_path):
     assert batches[0]["caps"].shape == (4, 6)
     keys = [k for b in batches for k in b["key"].tolist()]
     assert len(set(keys)) == 8  # no duplicates within an epoch
+
+
+def test_train_dataset_rejects_class_ids_beyond_num_classes(tmp_path):
+    """Labels >= num_classes silently NaN the dense margin CE
+    (take_along_axis fill mode) and silently drop the target logit under
+    partial-FC — the dataset must fail loudly at construction instead."""
+    import os
+    import pickle
+
+    args = _mk_args(tmp_path)  # num_classes=10
+    names = [f"id{i}_0" for i in range(4)]
+    caps = [[1, 2, 3] for _ in range(len(names) * 2)]
+    os.makedirs(tmp_path / "train", exist_ok=True)
+    with open(tmp_path / "train" / "class_info.pickle", "wb") as f:
+        pickle.dump([0, 5, 99, 3], f)  # 99 >= num_classes
+    with pytest.raises(ValueError, match="num_classes"):
+        TrainDataset(names, caps, args=args, synthetic=True, split="train")
+    # valid split carries no margin-CE labels: same ids must not raise
+    os.makedirs(tmp_path / "valid", exist_ok=True)
+    with open(tmp_path / "valid" / "class_info.pickle", "wb") as f:
+        pickle.dump([0, 5, 99, 3], f)
+    TrainDataset(names, caps, args=args, synthetic=True, split="valid")

@@ -305,3 +305,57 @@ def test_sphere_margin_runs_and_anneals():
     assert int(it1) == 1 and int(it2) == 2
     assert logits1.shape == (b, nc)
     assert np.all(np.isfinite(np.asarray(logits1)))
+
+
+def test_margin_grads_finite_at_saturated_cosine():
+    """Regression: a target cosine of EXACTLY +-1 must not NaN the backward.
+
+    sqrt'(0) and arccos'(+-1) are infinite; with the old clip-to-0 floors a
+    saturated target cosine emitted 0*inf = NaN gradients that poisoned
+    every param group in one step (observed live at B=64, epoch 3 — the
+    torch reference's `sqrt((1-cos^2).clamp(0,1))` carries the same latent
+    cliff). Basis-vector embeddings make cos(theta)=1.0 bit-exact.
+    """
+    import jax
+
+    b, d, nc = 4, 8, 6
+    emb = np.zeros((b, d), np.float32)
+    wt = np.zeros((nc, d), np.float32)
+    label = np.arange(b)
+    for i in range(b):
+        emb[i, i] = 1.0          # e_i
+        wt[i, i] = 1.0           # target class weight == embedding
+    for j in range(b, nc):
+        wt[j, j % d] = 0.7
+    # antipodal case too: cos(theta) = -1 against class b-1
+    emb[b - 1, b - 1] = -1.0
+
+    def arc_loss(e, w):
+        lg = MG.arc_margin_logits(e, w, jnp.asarray(label), s=35.0, m=0.5)
+        return L.focal_loss(lg, jnp.asarray(label))
+
+    ge, gw = jax.grad(arc_loss, argnums=(0, 1))(jnp.asarray(emb),
+                                                jnp.asarray(wt))
+    assert np.all(np.isfinite(np.asarray(ge))), "arc: d/demb has non-finite"
+    assert np.all(np.isfinite(np.asarray(gw))), "arc: d/dweight has non-finite"
+
+    def sphere_loss(e, w):
+        lg, _ = MG.sphere_margin_logits(e, w, jnp.asarray(label), 0)
+        return L.focal_loss(lg, jnp.asarray(label))
+
+    ge, gw = jax.grad(sphere_loss, argnums=(0, 1))(jnp.asarray(emb),
+                                                   jnp.asarray(wt))
+    assert np.all(np.isfinite(np.asarray(ge))), "sphere: non-finite demb"
+    assert np.all(np.isfinite(np.asarray(gw))), "sphere: non-finite dweight"
+
+    def mag_loss(e, w):
+        fn = MG.linear_margin_fn(0.45, 0.8, 10, 110)
+        (ct, ctm), xn = MG.mag_margin_logits(e, w, fn)
+        one_hot = jax.nn.one_hot(jnp.asarray(label), nc)
+        lg = one_hot * ctm + (1 - one_hot) * ct
+        return L.focal_loss(lg, jnp.asarray(label)) + MG.mag_loss_g(xn)
+
+    ge, gw = jax.grad(mag_loss, argnums=(0, 1))(jnp.asarray(emb * 20.0),
+                                                jnp.asarray(wt.T))
+    assert np.all(np.isfinite(np.asarray(ge))), "mag: non-finite demb"
+    assert np.all(np.isfinite(np.asarray(gw))), "mag: non-finite dweight"

@@ -258,6 +258,19 @@ class TrainDataset(_DatasetBase):
             if not self.synthetic:
                 raise
             self.class_id = self._synthetic_class_ids(args)
+        # Fail loudly when the identity count outgrows the classifier: a
+        # label >= num_classes makes the dense margin-CE NaN silently
+        # (take_along_axis fill mode) and the partial-FC head silently drop
+        # the target logit — both are unrecoverable misconfigurations.
+        nc = int(getattr(args, "num_classes", 0) or 0)
+        if split == "train" and nc and self.class_id and \
+                max(self.class_id) >= nc:
+            raise ValueError(
+                f"dataset '{split}' class ids reach {max(self.class_id)} "
+                f"but num_classes is {nc}; raise num_classes to cover the "
+                "dataset's identity count (a label >= num_classes silently "
+                "NaNs the dense margin CE and silently drops the target "
+                "logit under partial-FC)")
         # counter-based per-sample RNG: the DataLoader thread pool calls
         # __getitem__ concurrently, so a shared RNG stream would make caption
         # choice and augmentation depend on the thread schedule. Each call

@@ -49,7 +49,13 @@ def arc_margin_logits(
 ) -> jnp.ndarray:
     """ArcFace cos(theta + m) logits (reference: models/metrics.py:17-60)."""
     cosine = normalized_cosine(embeddings, weight)
-    sine = jnp.sqrt(jnp.clip(1.0 - jnp.square(cosine), 0.0, 1.0))
+    # Floor 1-cos^2 at 1e-12, not 0: sqrt'(0) is inf, and when a target
+    # cosine reaches +-1 (fp round-off past 1 clips to exactly 0) the
+    # backward emits 0*inf = NaN that poisons every param group in one
+    # step — observed live at B=64 (probe: all-groups NaN at step 94; the
+    # torch reference's sqrt((1-cos^2).clamp(0,1)) has the same latent
+    # cliff, it just never trips at B=32 horizons). Forward delta <=1e-6.
+    sine = jnp.sqrt(jnp.clip(1.0 - jnp.square(cosine), 1e-12, 1.0))
     cos_m, sin_m = math.cos(m), math.sin(m)
     phi = cosine * cos_m - sine * sin_m
     if easy_margin:
@@ -105,7 +111,10 @@ def sphere_margin_logits(
     lamb = jnp.maximum(lambda_min, base * (1 + gamma * it) ** (-power))
     cos_theta = jnp.clip(normalized_cosine(embeddings, weight), -1.0, 1.0)
     cos_m_theta = _SPHERE_MLAMBDA[m](cos_theta)
-    theta = jnp.arccos(cos_theta)
+    # arccos'(+-1) is infinite — same 0*inf NaN cliff as arc_margin's
+    # sqrt (see above); keep the arccos argument strictly inside (-1, 1).
+    # theta shift at the clamp is ~4.5e-4 rad, k=floor(m*theta/pi) unchanged.
+    theta = jnp.arccos(jnp.clip(cos_theta, -1.0 + 1e-7, 1.0 - 1e-7))
     k = jnp.floor(m * theta / math.pi)
     phi_theta = ((-1.0) ** k) * cos_m_theta - 2 * k
     norm_of_feature = jnp.linalg.norm(embeddings.astype(jnp.float32), axis=1)
@@ -181,7 +190,9 @@ def mag_margin_logits(
     wn = w / jnp.maximum(jnp.linalg.norm(w, axis=0, keepdims=True), 1e-12)
     xn = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     cos_theta = jnp.clip(xn @ wn, -1.0, 1.0)
-    sin_theta = jnp.sqrt(jnp.clip(1.0 - jnp.square(cos_theta), 0.0, None))
+    # 1e-12 floor: sqrt'(0)=inf => 0*inf NaN in backward when a target
+    # cosine saturates at +-1 (see arc_margin_logits above).
+    sin_theta = jnp.sqrt(jnp.clip(1.0 - jnp.square(cos_theta), 1e-12, None))
     cos_theta_m = cos_theta * cos_m - sin_theta * sin_m
     if easy_margin:
         cos_theta_m = jnp.where(cos_theta > 0, cos_theta_m, cos_theta)

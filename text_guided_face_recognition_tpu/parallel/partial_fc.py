@@ -108,7 +108,10 @@ def sharded_margin_ce(
                              dtype=cosine.dtype)
 
     if head == "arcface":
-        sine = jnp.sqrt(jnp.clip(1.0 - jnp.square(cosine), 0.0, 1.0))
+        # 1e-12 floor, not 0: sqrt'(0)=inf emits 0*inf=NaN in the backward
+        # when a target cosine saturates at +-1 (ops/margins.py has the
+        # full story + regression test)
+        sine = jnp.sqrt(jnp.clip(1.0 - jnp.square(cosine), 1e-12, 1.0))
         phi = cosine * math.cos(m) - sine * math.sin(m)
         if easy_margin:
             phi = jnp.where(cosine > 0, phi, cosine)
