@@ -14,13 +14,15 @@ k=4 vs k=24), which (a) cancels dispatch/readiness overhead exactly and
 Python loop of async dispatches returns before chained executions retire
 (it under-reported this step ~5x; see docs/BENCHMARKS.md "Methodology").
 
-Prints THREE JSON lines (one per perf surface, VERDICT r3 #5): stage-2
-FCFM-BERT train step (reference batch 16), the fused verification forward at
-the measured 256-pair eval recommendation, and LAST the flagship stage-1
-line {"metric", "value", "unit", "vs_baseline"} (last so the driver's
-single-line parse keeps recording the headline metric). The flagship is
-MEASURED first — in a long-lived process later measurements inherit a
-churned host (the bench_all.py caveat) — and printed last.
+Prints FOUR JSON lines (one per perf surface, VERDICT r3 #5): the stage-1
+production-batch config (B=64, the measured throughput sweet spot, validated
+by the learning curve behind cfg/train_bert_b64.yml), stage-2 FCFM-BERT
+train step (reference batch 16), the fused verification forward at the
+measured 256-pair eval recommendation, and LAST the flagship stage-1 line
+{"metric", "value", "unit", "vs_baseline"} (last so the driver's single-line
+parse keeps recording the headline metric). The flagship is MEASURED first —
+in a long-lived process later measurements inherit a churned host (the
+bench_all.py caveat) — and printed last.
 
 vs_baseline: the reference repo publishes no numbers (BASELINE.md), so the
 baseline is an engineering estimate of the reference stage-1 throughput on
@@ -181,9 +183,15 @@ def main():
     # Same per-program compiler options the production trainers jit with
     # (None on non-TPU backends). ks/repeats: harness defaults — wide k
     # spread + deep min against the tunnel's two-sided marginal noise
-    # (utils/benching.time_chained_steps docstring).
+    # (utils/benching.time_chained_steps docstring). Each timed run gets a
+    # FRESH state copy: the chained program donates its state arg, so
+    # reusing trainer.state for a second measurement would hit deleted
+    # buffers (the "fresh state copies per arm" rule, docs/BENCHMARKS.md).
+    def fresh(tree):
+        return jax.tree_util.tree_map(jnp.copy, tree)
+
     ks = (2, 6) if force_cpu else (4, 44)
-    ms = time_chained_steps(inner, trainer.state, trainer._dropout_key,
+    ms = time_chained_steps(inner, fresh(trainer.state), trainer._dropout_key,
                             ks=ks, repeats=6,
                             compiler_options=resolve_xla_opts(args.xla_opts))
     pairs_per_sec_per_chip = B / (ms / 1000.0) / jax.device_count()
@@ -193,6 +201,32 @@ def main():
         "unit": "pairs/s/chip",
         "vs_baseline": round(pairs_per_sec_per_chip / BASELINE_PAIRS_PER_SEC, 3),
     })
+
+    # ---- stage-1 production batch (B=64 sweet spot, cfg/train_bert_b64.yml;
+    # LRs differ from the flagship config but step time does not depend on
+    # them). Measured after the flagship, so it inherits a slightly churned
+    # host — treat as a floor.
+    B64 = 64
+    batch64 = {
+        "img": jnp.asarray(rng.normal(size=(B64, 112, 112, 3)).astype(np.float32)),
+        "caps": jnp.asarray(rng.integers(1000, 30000, (B64, 24)).astype(np.int32)),
+        "mask": jnp.ones((B64, 24), jnp.int32),
+        "cls_id": jnp.asarray(rng.integers(0, 4500, B64).astype(np.int32)),
+    }
+
+    def inner64(state, key):
+        state, metrics = trainer._train_step_fn(state, batch64, frozen, key)
+        return state, metrics["total_loss"]
+
+    ms64 = time_chained_steps(inner64, fresh(trainer.state),
+                              trainer._dropout_key,
+                              ks=ks, repeats=5,
+                              compiler_options=resolve_xla_opts(args.xla_opts))
+    print(json.dumps({
+        "metric": "stage1_bert_train_b64_production_pairs_per_sec_per_chip",
+        "value": round(B64 / ms64 * 1000.0 / jax.device_count(), 2),
+        "unit": "pairs/s/chip", "ms_per_step": round(ms64, 3),
+    }))
 
     # ---- stage-2 FCFM-BERT train step (reference batch, cfg/fusion_bert.yml)
     from text_guided_face_recognition_tpu.engine.stage2 import FusionTrainer
