@@ -119,6 +119,42 @@ def _backbone_feats(model_type, backbone_mod, frozen_vars, img):
     return gl, lc
 
 
+def _fused_embed(bb_mod, ih_mod, te_mod, th_mod, fu_mod,
+                 en_type, model_type, fusion_type,
+                 frozen_vars, ih_vars, te_params, th_params, fu_vars,
+                 img, caps, extra):
+    """One side's fused embedding — the deployable vector: cosine between two
+    of these is exactly the pair score of utils/modules.py:104-151."""
+    w, s = _encode_text(en_type, te_mod, te_params, th_mod, th_params,
+                        caps, extra)
+    g, l = _backbone_feats(model_type, bb_mod, frozen_vars, img)
+    p, q = ih_mod.apply(ih_vars, g, l, train=False)
+    if fusion_type == "concat":
+        return jnp.concatenate([p, s], axis=1)
+    if fusion_type == "linear":
+        return fu_mod.apply(fu_vars, p, s)
+    if fusion_type == "fcfm":
+        if en_type == "LSTM":
+            return fu_mod.apply(fu_vars, q, w)
+        return fu_mod.apply(fu_vars, q, w, p, s, train=False)
+    raise ValueError(fusion_type)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bb_mod", "ih_mod", "te_mod", "th_mod", "fu_mod",
+                     "en_type", "model_type", "fusion_type"))
+def _embed_batch(bb_mod, ih_mod, te_mod, th_mod, fu_mod,
+                 en_type, model_type, fusion_type,
+                 frozen_vars, ih_vars, te_params, th_params, fu_vars,
+                 img, caps, extra):
+    """Jitted single-side embedding batch (engine/extract.py serving path)."""
+    return _fused_embed(bb_mod, ih_mod, te_mod, th_mod, fu_mod,
+                        en_type, model_type, fusion_type,
+                        frozen_vars, ih_vars, te_params, th_params, fu_vars,
+                        img, caps, extra)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("bb_mod", "ih_mod", "te_mod", "th_mod", "fu_mod",
@@ -129,30 +165,14 @@ def _pair_scores(bb_mod, ih_mod, te_mod, th_mod, fu_mod,
                  img1, img2, cap1, cap2, x1, x2):
     """One eval batch: encode both sides, fuse, cosine
     (reference: utils/modules.py:104-151)."""
-    w1, s1 = _encode_text(en_type, te_mod, te_params, th_mod, th_params,
-                          cap1, x1)
-    w2, s2 = _encode_text(en_type, te_mod, te_params, th_mod, th_params,
-                          cap2, x2)
-    g1, l1 = _backbone_feats(model_type, bb_mod, frozen_vars, img1)
-    g2, l2 = _backbone_feats(model_type, bb_mod, frozen_vars, img2)
-    p1, q1 = ih_mod.apply(ih_vars, g1, l1, train=False)
-    p2, q2 = ih_mod.apply(ih_vars, g2, l2, train=False)
-
-    if fusion_type == "concat":
-        o1 = jnp.concatenate([p1, s1], axis=1)
-        o2 = jnp.concatenate([p2, s2], axis=1)
-    elif fusion_type == "linear":
-        o1 = fu_mod.apply(fu_vars, p1, s1)
-        o2 = fu_mod.apply(fu_vars, p2, s2)
-    elif fusion_type == "fcfm":
-        if en_type == "LSTM":
-            o1 = fu_mod.apply(fu_vars, q1, w1)
-            o2 = fu_mod.apply(fu_vars, q2, w2)
-        else:
-            o1 = fu_mod.apply(fu_vars, q1, w1, p1, s1, train=False)
-            o2 = fu_mod.apply(fu_vars, q2, w2, p2, s2, train=False)
-    else:
-        raise ValueError(fusion_type)
+    o1 = _fused_embed(bb_mod, ih_mod, te_mod, th_mod, fu_mod,
+                      en_type, model_type, fusion_type,
+                      frozen_vars, ih_vars, te_params, th_params, fu_vars,
+                      img1, cap1, x1)
+    o2 = _fused_embed(bb_mod, ih_mod, te_mod, th_mod, fu_mod,
+                      en_type, model_type, fusion_type,
+                      frozen_vars, ih_vars, te_params, th_params, fu_vars,
+                      img2, cap2, x2)
     return cosine_pairs(o1, o2)
 
 
