@@ -202,6 +202,29 @@ def main():
         "vs_baseline": round(pairs_per_sec_per_chip / BASELINE_PAIRS_PER_SEC, 3),
     })
 
+    # The three secondary surfaces below each run fresh chained compiles
+    # through the tunnel — the most failure-prone step. The try/finally
+    # guarantees the flagship line is printed LAST on stdout whether they
+    # succeed or die, so the driver's parse-the-final-JSON-line contract
+    # holds and the already-measured flagship is never discarded.
+    try:
+        _secondary_surfaces(trainer, frozen, fresh, rng, ks, args)
+    finally:
+        # flagship LAST: the driver parses the final JSON line as headline
+        print(flagship_line)
+
+
+def _secondary_surfaces(trainer, frozen, fresh, rng, ks, args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from text_guided_face_recognition_tpu.config import TGFRConfig
+    from text_guided_face_recognition_tpu.utils.benching import (
+        time_chained_steps)
+    from text_guided_face_recognition_tpu.utils.xla_opts import (
+        resolve_xla_opts)
+
     # ---- stage-1 production batch (B=64 sweet spot, cfg/train_bert_b64.yml;
     # LRs differ from the flagship config but step time does not depend on
     # them). Measured after the flagship, so it inherits a slightly churned
@@ -218,10 +241,9 @@ def main():
         state, metrics = trainer._train_step_fn(state, batch64, frozen, key)
         return state, metrics["total_loss"]
 
-    ms64 = time_chained_steps(inner64, fresh(trainer.state),
-                              trainer._dropout_key,
-                              ks=ks, repeats=5,
-                              compiler_options=resolve_xla_opts(args.xla_opts))
+    ms64 = time_chained_steps(
+        inner64, fresh(trainer.state), trainer._dropout_key,
+        ks=ks, repeats=5, compiler_options=resolve_xla_opts(args.xla_opts))
     print(json.dumps({
         "metric": "stage1_bert_train_b64_production_pairs_per_sec_per_chip",
         "value": round(B64 / ms64 * 1000.0 / jax.device_count(), 2),
@@ -247,8 +269,10 @@ def main():
         state, m = ftrainer._train_step_fn(state, fbatch, ffrozen, key)
         return state, m["loss"]
 
-    fms = time_chained_steps(finner, ftrainer.state, ftrainer._dropout_key,
-                             ks=ks, repeats=5)
+    # fresh copy: time_chained_steps donates its state arg (same rule as
+    # the stage-1 arms above)
+    fms = time_chained_steps(finner, fresh(ftrainer.state),
+                             ftrainer._dropout_key, ks=ks, repeats=5)
     print(json.dumps({
         "metric": "stage2_fcfm_bert_train_pairs_per_sec_per_chip",
         "value": round(B2 / fms * 1000.0 / jax.device_count(), 2),
@@ -279,9 +303,6 @@ def main():
         "value": round(b_eval / ems * 1000.0 / jax.device_count(), 2),
         "unit": "pairs/s/chip", "ms_per_step": round(ems, 3),
     }))
-
-    # flagship LAST: the driver parses the final JSON line as the headline
-    print(flagship_line)
 
 
 if __name__ == "__main__":

@@ -49,12 +49,20 @@ def eval_mesh(args):
     Mirrors the reference's DataParallel default of using every visible GPU
     (reference: utils/prepare.py:58): `num_devices` <= 0 means all visible
     devices. Unlike the train-side make_data_mesh, no divisibility
-    constraint — eval batches are padded to the mesh size (_shard_eval)."""
+    constraint — eval batches are padded to the mesh size (_shard_eval).
+
+    Multi-host runs: the eval loop gathers scores host-side (np.asarray of
+    every batch's predictions), so the mesh spans only THIS process's
+    devices — per-host DataParallel semantics; a device_put onto a global
+    mesh would raise on non-addressable devices, and the gather could not
+    read remote shards anyway. Split the pair list across hosts with the
+    input pipeline's process sharding instead."""
     from text_guided_face_recognition_tpu.parallel.mesh import make_mesh
     n = int(getattr(args, "num_devices", 0) or 0)
-    avail = jax.device_count()
+    local = jax.local_devices() if jax.process_count() > 1 else None
+    avail = len(local) if local is not None else jax.device_count()
     n = avail if n <= 0 else min(n, avail)
-    return make_mesh(n) if n > 1 else None
+    return make_mesh(n, devices=local) if n > 1 else None
 
 
 def _replicate_tree(tree, mesh):
@@ -287,7 +295,11 @@ def get_img_features_dict(args, backbone) -> Dict[str, np.ndarray]:
             for n in chunk])
         pad = bs - len(chunk)
         if pad:
-            imgs = np.concatenate([imgs, np.zeros_like(imgs[:pad])])
+            # zeros of the full pad width (zeros_like(imgs[:pad]) would cap
+            # at len(chunk) rows and leave a ragged final batch -> an extra
+            # jit compile for the odd shape)
+            imgs = np.concatenate(
+                [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
         (dev_imgs,), _ = _shard_eval([imgs], mesh)
         out = np.asarray(_global_feats(backbone.module, args.model_type,
                                        bb_vars, dev_imgs))

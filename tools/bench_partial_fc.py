@@ -63,13 +63,22 @@ def main():
     b, d = cli.batch, cli.dim
     rng = np.random.default_rng(0)
 
+    def fence(out):
+        # VALUE fetch, not block_until_ready (the repo's timing rule:
+        # readiness can resolve early through the TPU tunnel; a
+        # device->host read of a scalar cannot). This tool pins the CPU
+        # backend where block_until_ready is sound, but the fence keeps
+        # the pattern safe to copy into TPU-side tools.
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(np.asarray(leaf).ravel()[0])
+
     def timed(fn, *args):
         out = fn(*args)
-        jax.block_until_ready(out)
+        fence(out)
         t0 = time.perf_counter()
         for _ in range(cli.steps):
             out = fn(*args)
-        jax.block_until_ready(out)
+        fence(out)
         return (time.perf_counter() - t0) / cli.steps * 1000.0, out
 
     for c in (int(x) for x in cli.classes.split(",")):
