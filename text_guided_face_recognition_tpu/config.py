@@ -216,6 +216,7 @@ class TGFRConfig:
     frozen_feature_cache: bool = False     # per-epoch precompute of the frozen backbone over the train set (engine/feature_cache.py): the conv tower leaves the train step; exact augmentation semantics (the cache re-derives each sample's counter-based RNG). A/B in docs/BENCHMARKS.md
     feature_cache_batch: int = 256         # precompute forward batch (one static padded shape -> one compile)
     uint8_images: bool = False             # ship images to the device as augmented uint8 RGB and normalize on-chip (ops/images.device_normalize): 4x less h2d than float32, identical values
+    eval_table_mode: bool = False          # run_test via a deduplicated per-sample embedding table: embed each distinct (image, first-caption) side ONCE, score pairs by table lookup (engine/evaluate._table_score_loop). The protocol references far fewer distinct samples than 2x pairs, so forwards drop ~100-300x at the real pair lists; scores match the pair path to float tolerance (LSTM captions longer than lstm_words_num use a per-sample canonical crop — DEVIATIONS #23)
 
     # Anything else found in a YAML lands here and is still attribute-accessible.
     extras: Dict[str, Any] = field(default_factory=dict)

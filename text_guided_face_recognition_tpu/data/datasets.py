@@ -436,46 +436,68 @@ class TestDataset(_DatasetBase):
     def __len__(self) -> int:
         return len(self.imgs_pair)
 
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+    def pair_sides(self, index: int):
+        """[(img_name, key), (img_name, key)] for pair `index` — the name
+        resolves the image file, the key resolves captions/features."""
         imgs = self.imgs_pair[index]
-        pair_label = self.pair_label[index]
-
         if self.synthetic:
             img_names = [imgs[0], imgs[1]]
         else:
             # reference: imgs live under a per-identity dir <id>/<id>_<k>.jpg
             img_names = [os.path.join(n.split("_")[0], n) for n in imgs]
-        keys = [n[:-4] for n in img_names]
+        return [(n, n[:-4]) for n in img_names]
 
-        rng = np.random.default_rng((0, index))
-        sample: Dict[str, np.ndarray] = {"pair_label": np.int32(pair_label)}
-        for slot, (name, key) in enumerate(zip(img_names, keys), start=1):
-            img = None
-            path = os.path.join(self.data_dir, "images", self.split, name)
-            if self.transform is None and not self.synthetic:
-                img = self._load_transformed(path, train=False, rng=rng)
-            if img is None:
-                if self.synthetic:
-                    raw = _synthetic_image(key, self.img_size)
-                else:
-                    raw = decode_image(path, self.img_size)
-                if self.transform is not None:
-                    img = self.transform(raw)
-                elif self.uint8_images:
-                    img = np.ascontiguousarray(raw)  # device normalizes
-                else:
-                    img = eval_transform(raw, self.model_type)
-            sample[f"img{slot}"] = img
-            real_index = self._index.get(key, 0)
-            new_sent_ix = real_index * self.embeddings_num  # sent_ix = 0
-            if self.en_type == "BERT":
-                sample[f"cap{slot}"] = _as_numpy_caption(
-                    self.captions[new_sent_ix])
-                sample[f"mask{slot}"] = _as_numpy_caption(
-                    self.att_masks[new_sent_ix])
+    def _load_side(self, name: str, key: str,
+                   rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        """One side's sample: image (eval transform) + first caption
+        (sent_ix = 0, reference: utils/test_dataset.py:107-112). `rng` is
+        only consumed by the LSTM pad/subsample of over-long captions."""
+        img = None
+        path = os.path.join(self.data_dir, "images", self.split, name)
+        if self.transform is None and not self.synthetic:
+            img = self._load_transformed(path, train=False, rng=rng)
+        if img is None:
+            if self.synthetic:
+                raw = _synthetic_image(key, self.img_size)
             else:
-                caps, cap_len = self.pad_lstm_caption(
-                    self.captions[new_sent_ix], rng)
-                sample[f"cap{slot}"] = caps
-                sample[f"cap_len{slot}"] = np.int32(cap_len)
+                raw = decode_image(path, self.img_size)
+            if self.transform is not None:
+                img = self.transform(raw)
+            elif self.uint8_images:
+                img = np.ascontiguousarray(raw)  # device normalizes
+            else:
+                img = eval_transform(raw, self.model_type)
+        side: Dict[str, np.ndarray] = {"img": img}
+        real_index = self._index.get(key, 0)
+        new_sent_ix = real_index * self.embeddings_num  # sent_ix = 0
+        if self.en_type == "BERT":
+            side["cap"] = _as_numpy_caption(self.captions[new_sent_ix])
+            side["mask"] = _as_numpy_caption(self.att_masks[new_sent_ix])
+        else:
+            caps, cap_len = self.pad_lstm_caption(
+                self.captions[new_sent_ix], rng)
+            side["cap"] = caps
+            side["cap_len"] = np.int32(cap_len)
+        return side
+
+    def get_sample(self, name: str, key: str) -> Dict[str, np.ndarray]:
+        """Canonical (pair-independent) sample for table-mode eval: the rng
+        is seeded per SAMPLE, so an image appearing in many pairs always
+        gets the same caption crop (the pair path's per-pair rng only
+        matters for LSTM captions longer than lstm_words_num)."""
+        rng = np.random.default_rng((1, self._index.get(key, 0)))
+        return self._load_side(name, key, rng)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng((0, index))
+        sample: Dict[str, np.ndarray] = {
+            "pair_label": np.int32(self.pair_label[index])}
+        for slot, (name, key) in enumerate(self.pair_sides(index), start=1):
+            side = self._load_side(name, key, rng)
+            sample[f"img{slot}"] = side["img"]
+            sample[f"cap{slot}"] = side["cap"]
+            if self.en_type == "BERT":
+                sample[f"mask{slot}"] = side["mask"]
+            else:
+                sample[f"cap_len{slot}"] = side["cap_len"]
         return sample

@@ -197,6 +197,55 @@ def _global_feats(bb_mod, model_type, frozen_vars, img):
     return g
 
 
+def _table_score_loop(args, ds, embed, mesh=None):
+    """Pair scores via a deduplicated per-sample embedding table
+    (`eval_table_mode`): embed each distinct (image, first-caption) side of
+    the pair list ONCE, then score every pair as the cosine of two table
+    rows — the identical math to _pair_scores (cosine(embed(a), embed(b)),
+    see _fused_embed), but with ~100-300x fewer forwards at the real
+    protocol scale (1,193 subjects x 300 pairs reference ~2.4k distinct
+    samples for ~716k pair-side forwards; cfg/test.yml:15,
+    data/face2text/scripts/test_list_identification.py:5-38).
+
+    `embed` maps (img, caps, extra) -> (B, D) fused embeddings. Batches are
+    padded to one static shape (and mesh-sharded like _score_loop), so the
+    whole table costs ceil(N/B) executions of a single compiled program.
+    """
+    # distinct sides in first-appearance order
+    sides = [ds.pair_sides(i) for i in range(len(ds))]
+    order, seen = [], {}
+    for pair in sides:
+        for name, key in pair:
+            if key not in seen:
+                seen[key] = len(order)
+                order.append((name, key))
+
+    bs = max(int(args.batch_size), 1)
+    xk = "mask" if args.en_type == "BERT" else "cap_len"
+    embs = []
+    for i in range(0, len(order), bs):
+        chunk = [ds.get_sample(n, k) for n, k in order[i:i + bs]]
+        img = np.stack([c["img"] for c in chunk])
+        caps = np.stack([c["cap"] for c in chunk])
+        extra = np.stack([c[xk] for c in chunk])
+        pad = bs - len(chunk)
+        if pad:  # one static shape -> one compile (values trimmed below)
+            img, caps, extra = (
+                np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
+                for a in (img, caps, extra))
+        arrs, _ = _shard_eval([img, caps, extra], mesh)
+        out = embed(*arrs)
+        embs.append(np.asarray(out, np.float32)[:len(chunk)])
+    table = np.concatenate(embs)
+
+    i1 = np.asarray([seen[pair[0][1]] for pair in sides])
+    i2 = np.asarray([seen[pair[1][1]] for pair in sides])
+    # torch CosineSimilarity(eps=1e-6) semantics, matching cosine_pairs
+    norms = np.maximum(np.linalg.norm(table, axis=1), 1e-6)
+    preds = np.sum(table[i1] * table[i2], axis=1) / (norms[i1] * norms[i2])
+    return preds.tolist(), list(ds.pair_label)
+
+
 def _score_loop(args, dl, fwd, mesh=None) -> Dict[str, list]:
     preds, labels = [], []
     xk = ("mask1", "mask2") if args.en_type == "BERT" else \
@@ -261,7 +310,17 @@ def run_test(args, test_dl, backbone, image_head, fusion_net,
             bb_vars, ih_vars, te_params, th_params,
             fu_vars, img1, img2, cap1, cap2, x1, x2)
 
-    preds, labels = _score_loop(args, test_dl, fwd, mesh)
+    if getattr(args, "eval_table_mode", False):
+        def embed(img, caps, extra):
+            return _embed_batch(
+                backbone.module, image_head.module, text_encoder.module,
+                th_mod, fu_mod, args.en_type, args.model_type,
+                args.fusion_type, bb_vars, ih_vars, te_params, th_params,
+                fu_vars, img, caps, extra)
+
+        preds, labels = _table_score_loop(args, test_dl.dataset, embed, mesh)
+    else:
+        preds, labels = _score_loop(args, test_dl, fwd, mesh)
 
     if args.is_ident:
         calculate_identification_acc(preds, args)
@@ -314,13 +373,23 @@ def org_face_test(args, test_dl, backbone) -> Dict[str, float]:
     mesh like run_test."""
     mesh = eval_mesh(args)
     bb_vars = _replicate_tree(backbone.variables, mesh)
-    preds, labels = [], []
-    for batch in test_dl:
-        arrs, n = _shard_eval([batch["img1"], batch["img2"]], mesh)
-        pred = _raw_pair_scores(backbone.module, args.model_type,
-                                bb_vars, *arrs)
-        preds += np.asarray(pred)[:n].tolist()
-        labels += np.asarray(batch["pair_label"]).tolist()
+    if getattr(args, "eval_table_mode", False):
+        # per-image global-feature table (the reference's own
+        # get_img_feactures_dict idea, utils/modules.py:174-188, applied to
+        # the whole verification pass); caps/extra are loaded but unused
+        def embed(img, caps, extra):
+            return _global_feats(backbone.module, args.model_type,
+                                 bb_vars, img)
+
+        preds, labels = _table_score_loop(args, test_dl.dataset, embed, mesh)
+    else:
+        preds, labels = [], []
+        for batch in test_dl:
+            arrs, n = _shard_eval([batch["img1"], batch["img2"]], mesh)
+            pred = _raw_pair_scores(backbone.module, args.model_type,
+                                    bb_vars, *arrs)
+            preds += np.asarray(pred)[:n].tolist()
+            labels += np.asarray(batch["pair_label"]).tolist()
     if args.is_ident:
         calculate_identification_acc(preds, args)
     return calculate_scores(preds, labels, args)
