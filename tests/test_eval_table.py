@@ -118,6 +118,24 @@ def test_org_face_table_mode_matches():
                                    atol=1e-4, err_msg=f"metric {k}")
 
 
+def test_validate_concat_table_mode_matches():
+    """Stage-1 in-training validation (concat cosine) under the flag."""
+    args_p = _args(num_devices=1, fusion_type="concat")
+    valid_dl, valid_ds = prep.prepare_dataloader(args_p, "valid")
+    args_p.vocab_size = valid_ds.n_words
+    te, th, bb, ih, _ = _bundles(args_p)
+    common = (bb, ih.module, ih.variables["params"],
+              ih.variables.get("batch_stats", {}), te.module,
+              te.variables["params"], th.module, th.variables["params"])
+    m_pair = ev.validate_concat(args_p, valid_dl, *common)
+    args_t = _args(num_devices=1, fusion_type="concat", eval_table_mode=True)
+    args_t.vocab_size = valid_ds.n_words
+    m_table = ev.validate_concat(args_t, valid_dl, *common)
+    for k in m_pair:
+        np.testing.assert_allclose(m_pair[k], m_table[k], rtol=1e-4,
+                                   atol=1e-4, err_msg=f"metric {k}")
+
+
 def test_lstm_table_matches_for_within_cap_captions():
     """LSTM: pairs whose BOTH captions fit lstm_words_num are crop-free and
     must match pair mode; over-long captions legitimately diverge

@@ -280,7 +280,17 @@ def validate_concat(args, valid_dl, backbone, image_head_mod, ih_params,
             bb_vars, ih_vars, te_params, th_params, {},
             img1, img2, cap1, cap2, x1, x2)
 
-    preds, labels = _score_loop(args, valid_dl, fwd, mesh)
+    if getattr(args, "eval_table_mode", False):
+        def embed(img, caps, extra):
+            return _embed_batch(
+                backbone.module, image_head_mod, text_encoder_mod,
+                text_head_mod, None, args.en_type, args.model_type, "concat",
+                bb_vars, ih_vars, te_params, th_params, {},
+                img, caps, extra)
+
+        preds, labels = _table_score_loop(args, valid_dl.dataset, embed, mesh)
+    else:
+        preds, labels = _score_loop(args, valid_dl, fwd, mesh)
     return calculate_scores(preds, labels, args)
 
 
