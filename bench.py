@@ -14,15 +14,18 @@ k=4 vs k=24), which (a) cancels dispatch/readiness overhead exactly and
 Python loop of async dispatches returns before chained executions retire
 (it under-reported this step ~5x; see docs/BENCHMARKS.md "Methodology").
 
-Prints FOUR JSON lines (one per perf surface, VERDICT r3 #5): the stage-1
-production-batch config (B=64, the measured throughput sweet spot, validated
-by the learning curve behind cfg/train_bert_b64.yml), stage-2 FCFM-BERT
-train step (reference batch 16), the fused verification forward at the
-measured 256-pair eval recommendation, and LAST the flagship stage-1 line
-{"metric", "value", "unit", "vs_baseline"} (last so the driver's single-line
-parse keeps recording the headline metric). The flagship is MEASURED first —
-in a long-lived process later measurements inherit a churned host (the
-bench_all.py caveat) — and printed last.
+Prints SIX JSON lines (one per perf surface; VERDICT r3 #5 + r4 #1/#6): the
+stage-1 production-batch config (B=64, the measured throughput sweet spot,
+validated by the learning curve behind cfg/train_bert_b64.yml), stage-2
+FCFM-BERT train step (reference batch 16) AND the validated production
+batch (B=128, cfg/fusion_bert_b128.yml), the fused verification forward at
+the measured 256-pair eval recommendation, the FULL reference eval protocol
+at its real size (357,900 pairs / 1,193 subjects, table mode + rank-1
+identification — tools/bench_full_protocol.py), and LAST the flagship
+stage-1 line {"metric", "value", "unit", "vs_baseline"} (last so the
+driver's single-line parse keeps recording the headline metric). The
+flagship is MEASURED first — in a long-lived process later measurements
+inherit a churned host (the bench_all.py caveat) — and printed last.
 
 vs_baseline: the reference repo publishes no numbers (BASELINE.md), so the
 baseline is an engineering estimate of the reference stage-1 throughput on
@@ -279,6 +282,29 @@ def _secondary_surfaces(trainer, frozen, fresh, rng, ks, args):
         "unit": "pairs/s/chip", "ms_per_step": round(fms, 3),
     }))
 
+    # ---- stage-2 production batch (B=128, cfg/fusion_bert_b128.yml —
+    # validated learning curve in docs/BENCHMARKS.md; VERDICT r4 #6). Same
+    # trainer graph, larger batch: LRs don't affect step time.
+    B128 = 128
+    fbatch128 = {
+        "img": jnp.asarray(rng.normal(size=(B128, 112, 112, 3)).astype(np.float32)),
+        "caps": jnp.asarray(rng.integers(1000, 30000, (B128, 24)).astype(np.int32)),
+        "mask": jnp.ones((B128, 24), jnp.int32),
+        "cls_id": jnp.asarray(rng.integers(0, 4500, B128).astype(np.int32)),
+    }
+
+    def finner128(state, key):
+        state, m = ftrainer._train_step_fn(state, fbatch128, ffrozen, key)
+        return state, m["loss"]
+
+    fms128 = time_chained_steps(finner128, fresh(ftrainer.state),
+                                ftrainer._dropout_key, ks=ks, repeats=5)
+    print(json.dumps({
+        "metric": "stage2_fcfm_bert_train_b128_production_pairs_per_sec_per_chip",
+        "value": round(B128 / fms128 * 1000.0 / jax.device_count(), 2),
+        "unit": "pairs/s/chip", "ms_per_step": round(fms128, 3),
+    }))
+
     # ---- fused verification forward (test.py path) at the 256-pair eval
     # batch (the measured recommendation, docs/BENCHMARKS.md)
     import __graft_entry__ as G
@@ -303,6 +329,17 @@ def _secondary_surfaces(trainer, frozen, fresh, rng, ks, args):
         "value": round(b_eval / ems * 1000.0 / jax.device_count(), 2),
         "unit": "pairs/s/chip", "ms_per_step": round(ems, 3),
     }))
+
+    # ---- the reference eval protocol at its REAL size (VERDICT r4 #1):
+    # 1,193 subjects x 300 pairs = 357,900 pair scores + rank-1
+    # identification at test_sub=1193, table mode (the full protocol wall
+    # a user sees end-to-end: synthetic-image generation, embedding table,
+    # host-side scoring, metrics)
+    import os as _os
+    sys.path.insert(0, _os.path.join(_os.path.dirname(
+        _os.path.abspath(__file__)), "tools"))
+    import bench_full_protocol
+    bench_full_protocol.run(skip_pair=True)
 
 
 if __name__ == "__main__":

@@ -40,6 +40,22 @@ def parse_args(default_cfg: str, description: str):
                         help="override the config's dataset root (e.g. "
                              "caption_assets/face2text for real-captions "
                              "runs with --synthetic images)")
+    # cross-stage chaining / eval-protocol overrides (argparse wins over
+    # YAML, config.merge_args_yaml) — lets full-schedule chains and
+    # protocol-scale evals run without per-run config-file churn
+    parser.add_argument("--text_encoder_path", type=str, default=None)
+    parser.add_argument("--image_encoder_path", type=str, default=None)
+    parser.add_argument("--fusion_net_path", type=str, default=None)
+    parser.add_argument("--test_pair_list", type=str, default=None)
+    parser.add_argument("--test_sub", type=int, default=None)
+    parser.add_argument("--eval_table_mode", action="store_true",
+                        default=None,
+                        help="score pairs via the deduplicated per-sample "
+                             "embedding table (engine/evaluate.py)")
+    parser.add_argument("--is_ident", action="store_true", default=None)
+    parser.add_argument("--uint8_images", action="store_true", default=None,
+                        help="ship augmented uint8 over the wire; the "
+                             "device normalizes (4x smaller h2d)")
     args = parser.parse_args()
     return args
 

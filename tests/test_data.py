@@ -89,6 +89,22 @@ def test_train_dataset_bert_index_fix(tmp_path):
     assert vals <= {0, 1}
 
 
+def test_classifier_coverage_guard_is_trainer_side(tmp_path):
+    """Undersized num_classes must NOT block dataset construction (eval/
+    serving consumers like engine/extract.py build train-split datasets with
+    no classifier); the guard fires only via check_classifier_coverage,
+    which the trainers call (ADVICE r4)."""
+    args = _mk_args(tmp_path).replace(num_classes=3)
+    names = [f"id{i}_0" for i in range(8)]
+    caps = [[1, 2, 3] for _ in range(len(names) * 2)]
+    ds = TrainDataset(names, caps, args=args, synthetic=True)
+    ds.class_id = list(range(8))  # ids reach 7 >= num_classes=3
+    _ = ds[0]  # extraction-style consumption still works
+    with pytest.raises(ValueError, match="num_classes"):
+        ds.check_classifier_coverage(args.num_classes)
+    ds.check_classifier_coverage(8)  # exact cover passes
+
+
 def test_test_dataset_synthetic_pairs_and_loader(tmp_path):
     args = _mk_args(tmp_path)
     names = [f"id{i}_0" for i in range(8)]
@@ -157,7 +173,9 @@ def test_dataloader_shuffle_drop_last(tmp_path):
 def test_train_dataset_rejects_class_ids_beyond_num_classes(tmp_path):
     """Labels >= num_classes silently NaN the dense margin CE
     (take_along_axis fill mode) and silently drop the target logit under
-    partial-FC — the dataset must fail loudly at construction instead."""
+    partial-FC — the TRAINERS must fail loudly via check_classifier_coverage
+    (construction itself stays permissive for eval/serving consumers,
+    ADVICE r4; see test_classifier_coverage_guard_is_trainer_side)."""
     import os
     import pickle
 
@@ -167,10 +185,6 @@ def test_train_dataset_rejects_class_ids_beyond_num_classes(tmp_path):
     os.makedirs(tmp_path / "train", exist_ok=True)
     with open(tmp_path / "train" / "class_info.pickle", "wb") as f:
         pickle.dump([0, 5, 99, 3], f)  # 99 >= num_classes
+    ds = TrainDataset(names, caps, args=args, synthetic=True, split="train")
     with pytest.raises(ValueError, match="num_classes"):
-        TrainDataset(names, caps, args=args, synthetic=True, split="train")
-    # valid split carries no margin-CE labels: same ids must not raise
-    os.makedirs(tmp_path / "valid", exist_ok=True)
-    with open(tmp_path / "valid" / "class_info.pickle", "wb") as f:
-        pickle.dump([0, 5, 99, 3], f)
-    TrainDataset(names, caps, args=args, synthetic=True, split="valid")
+        ds.check_classifier_coverage(args.num_classes)

@@ -136,6 +136,63 @@ def test_validate_concat_table_mode_matches():
                                    atol=1e-4, err_msg=f"metric {k}")
 
 
+def test_table_mode_bf16_metric_parity():
+    """The shipped cfg/test.yml default is bfloat16: table mode computes the
+    pair cosine host-side in fp32 from bf16-computed embeddings while pair
+    mode computes it on-device in compute_dtype, so raw scores may differ at
+    bf16 scale. The mode's claim under bf16 is METRIC-level equivalence
+    (ADVICE r4): AUC/EER/summed-score agreement, plus bf16-scale raw-score
+    closeness."""
+    from text_guided_face_recognition_tpu.utils.metrics import (
+        calculate_scores)
+    args = _args(num_devices=1, compute_dtype="bfloat16")
+    pair, tab, lp, lt, _ = _loops(args)
+    assert lp == lt
+    np.testing.assert_allclose(pair, tab, atol=0.02)  # bf16-scale scores
+    m_pair = calculate_scores(pair, lp, args)
+    m_tab = calculate_scores(tab, lt, args)
+    assert abs(m_pair["auc"] - m_tab["auc"]) <= 0.02
+    assert abs(m_pair["eer"] - m_tab["eer"]) <= 0.02
+
+
+def test_table_dedup_keys_on_full_name():
+    """Two pair-list entries differing only by extension share a caption key
+    but are distinct images — each must get its own table row (ADVICE r4:
+    dedup on name[:-4] would collapse them, first-seen image winning)."""
+
+    class StubDS:
+        pair_label = [1, 0]
+
+        def __len__(self):
+            return 2
+
+        def pair_sides(self, i):
+            # a.jpg vs a.png: same caption key "a", different images
+            return ([("a.jpg", "a"), ("b.jpg", "b")] if i == 0 else
+                    [("a.png", "a"), ("b.jpg", "b")])
+
+        def get_sample(self, name, key, need_caption=True):
+            v = {"a.jpg": 1.0, "a.png": 2.0, "b.jpg": 3.0}[name]
+            s = {"img": np.full((4,), v, np.float32)}
+            if need_caption:
+                s["cap"] = np.zeros((3,), np.int32)
+                s["mask"] = np.ones((3,), np.int32)
+            return s
+
+    seen_rows = []
+
+    def embed(img, caps, extra):
+        seen_rows.append(np.asarray(img))
+        return np.asarray(img)  # identity embed: rows = img values
+
+    args = _args(num_devices=1, batch_size=8)
+    preds, labels = ev._table_score_loop(args, StubDS(), embed, mesh=None)
+    stacked = np.concatenate(seen_rows)[:, 0]
+    assert {1.0, 2.0, 3.0} <= set(stacked.tolist())  # 3 distinct rows
+    assert labels == [1, 0]
+    assert preds[0] == preds[1] == 1.0  # identical-direction stub vectors
+
+
 def test_lstm_table_matches_for_within_cap_captions():
     """LSTM: pairs whose BOTH captions fit lstm_words_num are crop-free and
     must match pair mode; over-long captions legitimately diverge

@@ -258,19 +258,6 @@ class TrainDataset(_DatasetBase):
             if not self.synthetic:
                 raise
             self.class_id = self._synthetic_class_ids(args)
-        # Fail loudly when the identity count outgrows the classifier: a
-        # label >= num_classes makes the dense margin-CE NaN silently
-        # (take_along_axis fill mode) and the partial-FC head silently drop
-        # the target logit — both are unrecoverable misconfigurations.
-        nc = int(getattr(args, "num_classes", 0) or 0)
-        if split == "train" and nc and self.class_id and \
-                max(self.class_id) >= nc:
-            raise ValueError(
-                f"dataset '{split}' class ids reach {max(self.class_id)} "
-                f"but num_classes is {nc}; raise num_classes to cover the "
-                "dataset's identity count (a label >= num_classes silently "
-                "NaNs the dense margin CE and silently drops the target "
-                "logit under partial-FC)")
         # counter-based per-sample RNG: the DataLoader thread pool calls
         # __getitem__ concurrently, so a shared RNG stream would make caption
         # choice and augmentation depend on the thread schedule. Each call
@@ -289,6 +276,23 @@ class TrainDataset(_DatasetBase):
     def _synthetic_class_ids(self, args) -> List[int]:
         n = len(self.filenames)
         return [i % args.num_classes for i in range(n)]
+
+    def check_classifier_coverage(self, num_classes: int) -> None:
+        """Fail loudly when the identity count outgrows the classifier: a
+        label >= num_classes makes the dense margin-CE NaN silently
+        (take_along_axis fill mode) and the partial-FC head silently drop
+        the target logit — both unrecoverable misconfigurations. Called by
+        the TRAINERS (stage1/stage2), where a classifier actually exists —
+        eval/serving consumers (engine/extract.py) build train-split
+        datasets with no margin head and must not be blocked by it."""
+        nc = int(num_classes or 0)
+        if nc and self.class_id and max(self.class_id) >= nc:
+            raise ValueError(
+                f"dataset '{self.split}' class ids reach "
+                f"{max(self.class_id)} but num_classes is {nc}; raise "
+                "num_classes to cover the dataset's identity count (a label "
+                ">= num_classes silently NaNs the dense margin CE and "
+                "silently drops the target logit under partial-FC)")
 
     def __len__(self) -> int:
         return len(self.filenames)
@@ -438,20 +442,32 @@ class TestDataset(_DatasetBase):
 
     def pair_sides(self, index: int):
         """[(img_name, key), (img_name, key)] for pair `index` — the name
-        resolves the image file, the key resolves captions/features."""
-        imgs = self.imgs_pair[index]
-        if self.synthetic:
-            img_names = [imgs[0], imgs[1]]
-        else:
-            # reference: imgs live under a per-identity dir <id>/<id>_<k>.jpg
-            img_names = [os.path.join(n.split("_")[0], n) for n in imgs]
-        return [(n, n[:-4]) for n in img_names]
+        resolves the image file, the key resolves captions/features.
 
-    def _load_side(self, name: str, key: str,
-                   rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        Pair-list entries are bare `<id>_<k>.jpg` names; the reference's
+        images live under a per-identity dir `<id>/<id>_<k>.jpg`
+        (utils/test_dataset.py:95-102). Resolution prefers whatever stem the
+        filename index actually contains, so real pair lists work both
+        against the on-disk layout AND in synthetic mode (protocol-scale
+        runs: real pair list + generated images)."""
+        out = []
+        for n in self.imgs_pair[index]:
+            if n[:-4] not in self._index:
+                joined = os.path.join(n.split("_")[0], n)
+                if joined[:-4] in self._index or not self.synthetic:
+                    # reference on-disk layout (also the non-synthetic
+                    # default for unresolvable entries)
+                    n = joined
+            out.append((n, n[:-4]))
+        return out
+
+    def _load_side(self, name: str, key: str, rng: np.random.Generator,
+                   need_caption: bool = True) -> Dict[str, np.ndarray]:
         """One side's sample: image (eval transform) + first caption
         (sent_ix = 0, reference: utils/test_dataset.py:107-112). `rng` is
-        only consumed by the LSTM pad/subsample of over-long captions."""
+        only consumed by the LSTM pad/subsample of over-long captions.
+        `need_caption=False` skips caption/mask loading for image-only
+        consumers (org_face_test's table mode embeds raw backbone feats)."""
         img = None
         path = os.path.join(self.data_dir, "images", self.split, name)
         if self.transform is None and not self.synthetic:
@@ -468,6 +484,8 @@ class TestDataset(_DatasetBase):
             else:
                 img = eval_transform(raw, self.model_type)
         side: Dict[str, np.ndarray] = {"img": img}
+        if not need_caption:
+            return side
         real_index = self._index.get(key, 0)
         new_sent_ix = real_index * self.embeddings_num  # sent_ix = 0
         if self.en_type == "BERT":
@@ -480,13 +498,14 @@ class TestDataset(_DatasetBase):
             side["cap_len"] = np.int32(cap_len)
         return side
 
-    def get_sample(self, name: str, key: str) -> Dict[str, np.ndarray]:
+    def get_sample(self, name: str, key: str,
+                   need_caption: bool = True) -> Dict[str, np.ndarray]:
         """Canonical (pair-independent) sample for table-mode eval: the rng
         is seeded per SAMPLE, so an image appearing in many pairs always
         gets the same caption crop (the pair path's per-pair rng only
         matters for LSTM captions longer than lstm_words_num)."""
         rng = np.random.default_rng((1, self._index.get(key, 0)))
-        return self._load_side(name, key, rng)
+        return self._load_side(name, key, rng, need_caption=need_caption)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng((0, index))

@@ -197,7 +197,7 @@ def _global_feats(bb_mod, model_type, frozen_vars, img):
     return g
 
 
-def _table_score_loop(args, ds, embed, mesh=None):
+def _table_score_loop(args, ds, embed, mesh=None, need_caption=True):
     """Pair scores via a deduplicated per-sample embedding table
     (`eval_table_mode`): embed each distinct (image, first-caption) side of
     the pair list ONCE, then score every pair as the cosine of two table
@@ -211,35 +211,39 @@ def _table_score_loop(args, ds, embed, mesh=None):
     padded to one static shape (and mesh-sharded like _score_loop), so the
     whole table costs ceil(N/B) executions of a single compiled program.
     """
-    # distinct sides in first-appearance order
+    # distinct sides in first-appearance order, deduplicated on the FULL
+    # image name (the caption key drops the extension, so two entries
+    # differing only by extension are distinct images that must each get
+    # their own table row)
     sides = [ds.pair_sides(i) for i in range(len(ds))]
     order, seen = [], {}
     for pair in sides:
         for name, key in pair:
-            if key not in seen:
-                seen[key] = len(order)
+            if name not in seen:
+                seen[name] = len(order)
                 order.append((name, key))
 
     bs = max(int(args.batch_size), 1)
     xk = "mask" if args.en_type == "BERT" else "cap_len"
     embs = []
     for i in range(0, len(order), bs):
-        chunk = [ds.get_sample(n, k) for n, k in order[i:i + bs]]
-        img = np.stack([c["img"] for c in chunk])
-        caps = np.stack([c["cap"] for c in chunk])
-        extra = np.stack([c[xk] for c in chunk])
+        chunk = [ds.get_sample(n, k, need_caption=need_caption)
+                 for n, k in order[i:i + bs]]
+        cols = [np.stack([c["img"] for c in chunk])]
+        if need_caption:
+            cols.append(np.stack([c["cap"] for c in chunk]))
+            cols.append(np.stack([c[xk] for c in chunk]))
         pad = bs - len(chunk)
         if pad:  # one static shape -> one compile (values trimmed below)
-            img, caps, extra = (
-                np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
-                for a in (img, caps, extra))
-        arrs, _ = _shard_eval([img, caps, extra], mesh)
+            cols = [np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
+                    for a in cols]
+        arrs, _ = _shard_eval(cols, mesh)
         out = embed(*arrs)
         embs.append(np.asarray(out, np.float32)[:len(chunk)])
     table = np.concatenate(embs)
 
-    i1 = np.asarray([seen[pair[0][1]] for pair in sides])
-    i2 = np.asarray([seen[pair[1][1]] for pair in sides])
+    i1 = np.asarray([seen[pair[0][0]] for pair in sides])
+    i2 = np.asarray([seen[pair[1][0]] for pair in sides])
     # torch CosineSimilarity(eps=1e-6) semantics, matching cosine_pairs
     norms = np.maximum(np.linalg.norm(table, axis=1), 1e-6)
     preds = np.sum(table[i1] * table[i2], axis=1) / (norms[i1] * norms[i2])
@@ -386,12 +390,14 @@ def org_face_test(args, test_dl, backbone) -> Dict[str, float]:
     if getattr(args, "eval_table_mode", False):
         # per-image global-feature table (the reference's own
         # get_img_feactures_dict idea, utils/modules.py:174-188, applied to
-        # the whole verification pass); caps/extra are loaded but unused
-        def embed(img, caps, extra):
+        # the whole verification pass); image-only — captions are neither
+        # loaded nor shipped on this path
+        def embed(img):
             return _global_feats(backbone.module, args.model_type,
                                  bb_vars, img)
 
-        preds, labels = _table_score_loop(args, test_dl.dataset, embed, mesh)
+        preds, labels = _table_score_loop(args, test_dl.dataset, embed, mesh,
+                                          need_caption=False)
     else:
         preds, labels = [], []
         for batch in test_dl:

@@ -81,6 +81,7 @@ class Stage1Trainer:
         # data (must run first: LSTM fills args.vocab_size from the corpus,
         # reference src/train_encoders_lstm.py:51)
         self.train_dl, self.train_ds = prep.prepare_dataloader(args, "train")
+        self.train_ds.check_classifier_coverage(args.num_classes)
         self.valid_dl, self.valid_ds = prep.prepare_dataloader(args, "valid")
         args.len_train_dl = len(self.train_dl)
 

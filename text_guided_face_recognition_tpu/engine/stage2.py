@@ -54,6 +54,7 @@ class FusionTrainer:
         self.is_bert = args.en_type == "BERT"
 
         self.train_dl, self.train_ds = prep.prepare_dataloader(args, "train")
+        self.train_ds.check_classifier_coverage(args.num_classes)
         self.valid_dl, self.valid_ds = prep.prepare_dataloader(args, "valid")
 
         # stage-1 artifacts (reference: Fusion.__init__ :42-68)
