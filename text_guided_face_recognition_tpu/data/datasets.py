@@ -130,12 +130,21 @@ def _as_numpy_caption(x) -> np.ndarray:
 
 def load_text_data_bert(data_dir: str, args):
     """BERT caption cache (reference: utils/dataset_utils.py:183-217);
-    accepts the reference's torch-tensor pickles or our numpy pickles."""
-    filepath = os.path.join(data_dir, f"captions_{args.bert_type}.pickle")
+    accepts the reference's torch-tensor pickles or our numpy pickles.
+
+    The cache filename carries the tokenizer's cache_tag ("" for the HF
+    path = the reference's exact captions_<bert_type>.pickle name;
+    "-wordpiece"/"-hash" for the offline fallbacks), so switching
+    tokenizers can never silently reuse another tokenizer's token ids."""
     names = {s: load_filenames(data_dir, s) for s in ("train", "valid", "test")}
+    if not names["train"] and not names["test"]:
+        raise FileNotFoundError(f"no split metadata under {data_dir}")
+    encode = get_bert_tokenizer(args)
+    tag = getattr(encode, "cache_tag", "")
+    filepath = os.path.join(data_dir,
+                            f"captions_{args.bert_type}{tag}.pickle")
 
     if not os.path.isfile(filepath):
-        encode = get_bert_tokenizer(args)
         store = []
         for split in ("train", "valid", "test"):
             caps, masks = [], []

@@ -115,15 +115,29 @@ class HashTokenizer:
 
 
 def get_bert_tokenizer(args):
-    """HF tokenizer per bert_type (reference: utils/dataset_utils.py:86-102),
-    falling back to HashTokenizer offline. Returns a callable
-    (caption, max_length) -> (input_ids, attention_mask)."""
+    """BERT-family tokenizer per bert_type (reference:
+    utils/dataset_utils.py:86-102). Returns a callable
+    (caption, max_length) -> (input_ids, attention_mask) carrying a
+    `cache_tag` attribute that namespaces the caption-pickle cache
+    (different tokenizers must never silently share a token cache).
+
+    Resolution order:
+      1. the HF tokenizer (reference parity; needs network or an HF cache),
+         cache_tag "" — the reference's captions_<bert_type>.pickle name
+      2. a REAL WordPiece tokenizer trained offline on the caption corpus
+         itself (data/wordpiece.py; true subword/row-reuse distribution,
+         ids differ from the HF vocab), cache_tag "-wordpiece"
+      3. the deterministic HashTokenizer (no corpus at all; synthetic id
+         distribution), cache_tag "-hash"
+    """
     name_by_type = {
         "bert": args.bert_config, "align": args.align_config,
         "clip": args.clip_config, "blip": args.blip_config,
         "falva": args.falva_config, "groupvit": args.groupvit_config,
     }
     name = name_by_type[args.bert_type]
+    from text_guided_face_recognition_tpu.models.text_bert import TEXT_ARCHS
+    arch_vocab = TEXT_ARCHS[args.bert_type].vocab_size
     try:
         from transformers import AutoTokenizer
         tok = AutoTokenizer.from_pretrained(name, local_files_only=True)
@@ -136,11 +150,27 @@ def get_bert_tokenizer(args):
             return (np.asarray(enc["input_ids"], np.int32),
                     np.asarray(enc["attention_mask"], np.int32))
 
+        encode.cache_tag = ""
         return encode
     except Exception as e:  # offline / not cached
-        warnings.warn(
-            f"HF tokenizer {name!r} unavailable offline ({type(e).__name__}); "
-            "using deterministic HashTokenizer fallback")
-        from text_guided_face_recognition_tpu.models.text_bert import TEXT_ARCHS
-        ht = HashTokenizer(TEXT_ARCHS[args.bert_type].vocab_size)
-        return lambda caption, max_length: ht(caption, max_length)
+        hf_err = f"{type(e).__name__}"
+    try:
+        from text_guided_face_recognition_tpu.data import wordpiece
+        wp = wordpiece.load_or_train(args.data_dir, vocab_size=arch_vocab)
+        if wp is not None and wp.vocab_size <= arch_vocab:
+            warnings.warn(
+                f"HF tokenizer {name!r} unavailable offline ({hf_err}); "
+                "using corpus-trained WordPiece vocab "
+                f"({wp.vocab_size} pieces, {wp.vocab_path})")
+            return wp
+    except Exception as e:
+        warnings.warn(f"WordPiece fallback failed ({type(e).__name__}: {e}); "
+                      "using HashTokenizer")
+    warnings.warn(
+        f"HF tokenizer {name!r} unavailable offline ({hf_err}) and no "
+        "caption corpus to train WordPiece on; using deterministic "
+        "HashTokenizer fallback")
+    ht = HashTokenizer(arch_vocab)
+    fn = lambda caption, max_length: ht(caption, max_length)  # noqa: E731
+    fn.cache_tag = "-hash"
+    return fn

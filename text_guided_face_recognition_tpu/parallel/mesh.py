@@ -66,29 +66,42 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: dict, mesh: Optional[Mesh], axis: str = "data") -> dict:
+def shard_batch(batch: dict, mesh: Optional[Mesh], axis: str = "data",
+                expected_global_rows: Optional[int] = None) -> dict:
     """device_put each array with its batch axis sharded (host -> HBM).
 
     Multi-host (process_count > 1): each process holds only its local slice
     of the global batch (data/loader.py `process_shard`); the global array is
     assembled with `jax.make_array_from_process_local_data` — no cross-host
-    data movement, addressable shards stay on their producing host."""
+    data movement, addressable shards stay on their producing host.
+
+    `expected_global_rows` (the run's global batch size) is the guard
+    against a full (non-process-sharded) batch routed here by mistake on a
+    pod: make_array_from_process_local_data happily assembles local rows x
+    process_count whatever the local size is — a full batch would silently
+    become a process_count-times-larger global batch with every host's copy
+    concatenated, duplicating data instead of erroring (first caught by the
+    2-process fixture, tests/_mp_worker.py)."""
     if mesh is None or mesh.size == 1:
         return jax.device_put(batch)
     sh = batch_sharding(mesh, axis)
     if jax.process_count() > 1:
-        # Explicit global_shape: with global_shape=None,
-        # make_array_from_process_local_data would silently INFER a
-        # process_count-times-larger global batch from a caller that passes a
-        # full (non-process-sharded) batch — e.g. a validation loader routed
-        # here by mistake on a pod — duplicating data instead of erroring.
-        def _assemble(v):
+        def _assemble(k, v):
             local = np.asarray(v)
-            global_shape = (local.shape[0] * jax.process_count(),
-                            *local.shape[1:])
-            return jax.make_array_from_process_local_data(sh, local,
-                                                          global_shape)
-        return {k: _assemble(v) for k, v in batch.items()}
+            global_rows = local.shape[0] * jax.process_count()
+            if expected_global_rows is not None and \
+                    global_rows != expected_global_rows:
+                raise ValueError(
+                    f"shard_batch['{k}']: local batch has {local.shape[0]} "
+                    f"rows -> {global_rows} global across "
+                    f"{jax.process_count()} processes, but the run's global "
+                    f"batch is {expected_global_rows}; on a pod each process "
+                    "must feed only its process_shard slice "
+                    "(data/loader.py) — a full batch here would silently "
+                    "duplicate data into the global array")
+            return jax.make_array_from_process_local_data(
+                sh, local, (global_rows, *local.shape[1:]))
+        return {k: _assemble(k, v) for k, v in batch.items()}
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 
@@ -106,12 +119,26 @@ def prefetch_to_device(iterator, mesh: Optional[Mesh], size: int = 2,
     latency synchronously."""
     from collections import deque
     buf: deque = deque()
+
+    # pod guard: a loader that isn't process-sharded would feed the FULL
+    # batch from every host (see shard_batch's expected_global_rows note);
+    # loaders expose batch_size (global) + process_shard, so wire the check
+    expected = None
+    if mesh is not None and mesh.size > 1 and jax.process_count() > 1:
+        expected = getattr(iterator, "batch_size", None)
+        if expected is not None and \
+                getattr(iterator, "process_shard", None) is None:
+            raise ValueError(
+                "prefetch_to_device on a pod requires a process-sharded "
+                "loader (DataLoader(process_shard=(process_index, "
+                "process_count))); this loader would feed its full batch "
+                "from every host")
     it = iter(iterator)
 
     def _put(b: dict) -> dict:
         if drop_keys:
             b = {k: v for k, v in b.items() if k not in drop_keys}
-        return shard_batch(b, mesh)
+        return shard_batch(b, mesh, expected_global_rows=expected)
 
     try:
         while len(buf) < max(1, size):

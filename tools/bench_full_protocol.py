@@ -230,7 +230,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     from text_guided_face_recognition_tpu.utils.cache import (
         enable_compile_cache)
-    enable_compile_cache()
+    # cpu_policy="off": CPU AOT cache entries can SIGILL across virtualized
+    # host identities (utils/cache.py docstring); TPU keeps the tunnel cache
+    enable_compile_cache(cpu_policy="off")
     run(a.subjects, a.imposters, a.batch, a.pair_slice, a.skip_pair)
 
 
