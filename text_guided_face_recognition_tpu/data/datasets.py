@@ -139,10 +139,14 @@ def load_text_data_bert(data_dir: str, args):
     names = {s: load_filenames(data_dir, s) for s in ("train", "valid", "test")}
     if not names["train"] and not names["test"]:
         raise FileNotFoundError(f"no split metadata under {data_dir}")
-    encode = get_bert_tokenizer(args)
-    tag = getattr(encode, "cache_tag", "")
-    filepath = os.path.join(data_dir,
-                            f"captions_{args.bert_type}{tag}.pickle")
+    # the reference's own cache name loads WITHOUT a tokenizer (it holds
+    # already-tokenized ids — e.g. a cache shipped from an HF-online run)
+    filepath = os.path.join(data_dir, f"captions_{args.bert_type}.pickle")
+    if not os.path.isfile(filepath):
+        encode = get_bert_tokenizer(args)
+        tag = getattr(encode, "cache_tag", "")
+        filepath = os.path.join(data_dir,
+                                f"captions_{args.bert_type}{tag}.pickle")
 
     if not os.path.isfile(filepath):
         store = []

@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--variants", default=",".join(VARIANTS))
     ap.add_argument("--ks", default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--wordpiece", action="store_true",
+                    help="draw caps/mask from the staged corpus tokenized "
+                         "with the corpus-trained WordPiece vocab (real "
+                         "row-reuse distribution) and report reuse stats")
     args_cli = ap.parse_args()
 
     import jax
@@ -66,14 +70,49 @@ def main():
         ks = (2, 6) if args_cli.cpu else (4, 44)
     B = args_cli.batch
     rng = np.random.default_rng(0)
-    batch = {
-        "img": jnp.asarray(
-            rng.normal(size=(B, 112, 112, 3)).astype(np.float32)),
-        "caps": jnp.asarray(
-            rng.integers(1000, 30000, (B, 24)).astype(np.int32)),
-        "mask": jnp.ones((B, 24), jnp.int32),
-        "cls_id": jnp.asarray(rng.integers(0, 4500, B).astype(np.int32)),
-    }
+    if args_cli.wordpiece:
+        # REAL token-id distribution (VERDICT r4 #5): captions drawn from
+        # the staged corpus, tokenized with the corpus-trained WordPiece
+        # vocab (data/wordpiece.py) — the row-reuse distribution
+        # lazy_embedding_adam's cost model is priced against. Also report
+        # the measured reuse stats.
+        from text_guided_face_recognition_tpu.data import wordpiece
+        root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+        corpus = os.path.join(root, "caption_assets", "face2text")
+        wp = wordpiece.load_or_train(corpus)
+        assert wp is not None, f"no caption corpus at {corpus}"
+        texts = wordpiece.corpus_caption_texts(corpus)
+        picks = rng.choice(len(texts), size=B, replace=False)
+        enc = [wp(texts[i], 24) for i in picks]
+        caps = np.stack([e[0] for e in enc])
+        mask = np.stack([e[1] for e in enc])
+        uniq = len(np.unique(caps))
+        print(json.dumps({
+            "metric": f"wordpiece_row_reuse_b{B}",
+            "unique_rows_in_batch": uniq,
+            "ids_per_batch": int(caps.size),
+            "vocab_pieces": wp.vocab_size,
+            "corpus_captions": len(texts),
+            "note": "dense Adam updates every embedding-table row "
+                    "(30522) per step regardless; lazy touches only "
+                    "unique_rows_in_batch",
+        }), flush=True)
+        batch = {
+            "img": jnp.asarray(
+                rng.normal(size=(B, 112, 112, 3)).astype(np.float32)),
+            "caps": jnp.asarray(caps.astype(np.int32)),
+            "mask": jnp.asarray(mask.astype(np.int32)),
+            "cls_id": jnp.asarray(rng.integers(0, 4500, B).astype(np.int32)),
+        }
+    else:
+        batch = {
+            "img": jnp.asarray(
+                rng.normal(size=(B, 112, 112, 3)).astype(np.float32)),
+            "caps": jnp.asarray(
+                rng.integers(1000, 30000, (B, 24)).astype(np.int32)),
+            "mask": jnp.ones((B, 24), jnp.int32),
+            "cls_id": jnp.asarray(rng.integers(0, 4500, B).astype(np.int32)),
+        }
 
     for variant in args_cli.variants.split(","):
         use_rbg = "rbg" in variant
