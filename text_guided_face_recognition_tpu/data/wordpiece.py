@@ -27,7 +27,8 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["VOCAB_FILENAME", "WordPieceTokenizer", "load_or_train"]
+__all__ = ["VOCAB_FILENAME", "WordPieceTokenizer", "load_or_train",
+           "corpus_caption_texts"]
 
 VOCAB_FILENAME = "wordpiece_vocab.txt"
 SPECIALS = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
@@ -94,6 +95,13 @@ def _corpus_captions(data_dir: str) -> List[str]:
             with open(cap_path, "r") as f:
                 caps.extend(c for c in f.read().split("\n") if c)
     return caps
+
+
+def corpus_caption_texts(data_dir: str) -> List[str]:
+    """Public accessor for the raw caption lines of a staged corpus (used by
+    tools/bench_opt_ab.py --wordpiece to draw real-token-distribution
+    batches)."""
+    return _corpus_captions(data_dir)
 
 
 def load_or_train(data_dir: str, vocab_size: int = 30522
