@@ -64,10 +64,18 @@ def main():
     bb = prep.prepare_backbone(args)
     ih = prep.prepare_image_head(args)
     fu = prep.prepare_fusion_net(args)
-    common = (bb.module, ih.module, te.module, th.module, fu.module,
-              args.en_type, args.model_type, args.fusion_type,
-              bb.variables, ih.variables, te.variables["params"],
-              th.variables["params"], fu.variables)
+    statics = (bb.module, ih.module, te.module, th.module, fu.module,
+               args.en_type, args.model_type, args.fusion_type)
+    # Weights travel as jit ARGUMENTS (device-resident), never as closure
+    # constants: a closure capture would embed every parameter as an HLO
+    # literal inside the chained program, and the tunnel's remote-compile
+    # endpoint rejects the resulting multi-MB request body (HTTP 413).
+    var_args = jax.device_put((bb.variables, ih.variables,
+                               te.variables["params"],
+                               th.variables["params"], fu.variables))
+
+    def embed_img_first(im, c, m, fv, iv, tp, hp, fuv):
+        return ev._embed_batch(*statics, fv, iv, tp, hp, fuv, im, c, m)
 
     rng = np.random.default_rng(0)
     for B in [int(x) for x in a.batches.split(",")]:
@@ -75,21 +83,19 @@ def main():
         caps = jnp.asarray(rng.integers(1000, 30000, (B, 24)).astype(np.int32))
         mask = jnp.ones((B, 24), jnp.int32)
 
-        def embed_img_first(im, c, m):
-            return ev._embed_batch(*common, im, c, m)
-
         # compute-only (chained marginal; median-of-repeats inside)
         ks = (2, 6) if a.cpu else (4, 44)
-        ms_compute = time_chained_forward(embed_img_first, (img, caps, mask),
-                                          ks=ks, repeats=5)
+        ms_compute = time_chained_forward(
+            embed_img_first, (img, caps, mask) + var_args,
+            ks=ks, repeats=5)
 
         # through-tunnel wall: fenced per-call p50
-        out = embed_img_first(img, caps, mask)
+        out = embed_img_first(img, caps, mask, *var_args)
         float(jnp.sum(out))  # warm + fence
         walls = []
         for _ in range(a.wall_calls):
             t0 = time.perf_counter()
-            out = embed_img_first(img, caps, mask)
+            out = embed_img_first(img, caps, mask, *var_args)
             _ = float(jnp.sum(out))  # VALUE fetch = execution fence
             walls.append((time.perf_counter() - t0) * 1000.0)
         p50 = float(np.percentile(walls, 50))
