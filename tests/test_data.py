@@ -157,6 +157,43 @@ def test_bert_cache_reads_reference_torch_format(tmp_path):
     np.testing.assert_array_equal(caps[1], np.arange(8) + 1)
 
 
+def test_real_pair_list_keeps_explicit_test_sub(tmp_path):
+    """A REAL pair list under synthetic images (protocol-scale runs: real
+    test_299_sub.txt + --synthetic) must keep the caller's test_sub — before
+    r5 prepare_dataloader clobbered it to len(ds)//4 whenever images were
+    synthetic, turning the 300-wide identification groups into garbage
+    4-wide ones (surfaced by the r5 chain soak printing 'total subjects:
+    89475' for the 1,193-subject protocol)."""
+    from text_guided_face_recognition_tpu.engine import prepare as prep
+
+    # synthetic test names are s{i}_0 (engine/prepare._synthetic_lstm)
+    pair_file = tmp_path / "pairs_real.txt"
+    n_sub, width = 4, 6
+    lines = []
+    for s in range(n_sub):
+        for j in range(width):
+            lines.append(f"s{s}_0.jpg s{(s + j) % 8}_0.jpg {int(j == 0)}")
+    pair_file.write_text("\n".join(lines) + "\n")
+
+    args = _mk_args(tmp_path).replace(
+        synthetic=True, is_ident=True, test_sub=n_sub,
+        test_pair_list=str(pair_file), num_workers=2, batch_size=4)
+    dl, ds = prep.prepare_dataloader(args, "test")
+    assert ds.synthetic_pairs is False
+    assert len(ds) == n_sub * width
+    assert args.test_sub == n_sub  # NOT clobbered to len(ds)//4
+
+    # control: no pair-list file -> synthetic 4-wide groups -> the len//4
+    # inference is correct and must still fire
+    args2 = _mk_args(tmp_path).replace(
+        synthetic=True, is_ident=True, test_sub=1193,
+        test_pair_list=str(tmp_path / "missing.txt"), num_workers=2,
+        batch_size=4)
+    dl2, ds2 = prep.prepare_dataloader(args2, "test")
+    assert ds2.synthetic_pairs is True
+    assert args2.test_sub == len(ds2) // 4
+
+
 def test_dataloader_shuffle_drop_last(tmp_path):
     args = _mk_args(tmp_path)
     names = [f"id{i}_0" for i in range(10)]

@@ -121,6 +121,42 @@ def test_stage2_fusion_step_and_checkpoint_roundtrip(tmp_path):
             tr.state.params["fusion_net"])[0]))
 
 
+def test_cross_backend_raw_restore_fallback(tmp_path, monkeypatch):
+    """Target-less restores must survive checkpoints written on another
+    backend: orbax replays the stored per-leaf device sharding and raises
+    ValueError("Device ... was not found") when that device doesn't exist
+    in this runtime (a TPU-written checkpoint restored on CPU). _raw_restore
+    falls back to an abstract target rebuilt from the stored metadata with a
+    local sharding — simulate the foreign-device failure by making the
+    target-less call raise."""
+    import orbax.checkpoint as ocp
+
+    from text_guided_face_recognition_tpu.engine.checkpoint import (
+        load_checkpoint, save_checkpoint)
+
+    tree = {"a": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+            "b": {"v": np.full(4, 7, np.int32)}}
+    path = save_checkpoint(str(tmp_path / "ck"), tree)
+
+    orig = ocp.StandardCheckpointer.restore
+
+    def foreign_device_restore(self, directory, *a, **kw):
+        if not a and kw.get("target") is None:
+            raise ValueError(
+                "Device TPU v5 lite0 was not found in jax.local_devices().")
+        return orig(self, directory, *a, **kw)
+
+    monkeypatch.setattr(ocp.StandardCheckpointer, "restore",
+                        foreign_device_restore)
+    out = load_checkpoint(path)  # like=None -> raw restore -> fallback
+    np.testing.assert_array_equal(np.asarray(out["a"]["w"]), tree["a"]["w"])
+    np.testing.assert_array_equal(np.asarray(out["b"]["v"]), tree["b"]["v"])
+    # the partial path raw-restores too
+    part = load_checkpoint(
+        path, like={"a": {"w": np.zeros((2, 3), np.float32)}}, partial=True)
+    np.testing.assert_array_equal(np.asarray(part["a"]["w"]), tree["a"]["w"])
+
+
 def test_stage1_bert_step_full_cocktail():
     """BERT path (groupvit arch) with dropout + DAMSM/CLIP/ident losses."""
     from text_guided_face_recognition_tpu.engine.stage1 import Stage1Trainer

@@ -421,6 +421,11 @@ class TestDataset(_DatasetBase):
         self._index = {name: i for i, name in enumerate(self.filenames)}
         pair_file = (args.test_pair_list if split == "test"
                      else args.valid_pair_list)
+        # Real pair-list files win even in synthetic-image mode (protocol-
+        # scale runs use a real list over synthetic images); consumers that
+        # infer group widths (identification test_sub) must know which case
+        # they got — see engine/prepare.prepare_dataloader.
+        self.synthetic_pairs = self.synthetic and not os.path.isfile(pair_file)
         self.imgs_pair, self.pair_label = self._read_pairs(pair_file)
         self.rng = np.random.default_rng(0)
 

@@ -75,6 +75,30 @@ def _cast_like(like: Any, full: Any) -> Any:
         lambda a, b: jnp.asarray(b, a.dtype), like, full)
 
 
+def _raw_restore(ckptr, path: str):
+    """Target-less restore that survives cross-backend moves.
+
+    A checkpoint written on one backend embeds per-leaf
+    SingleDeviceSharding metadata naming that device (e.g. "TPU v5
+    lite0"); orbax's target-less restore replays that sharding and fails
+    with "Device ... was not found in jax.local_devices()" on any other
+    runtime (surfaced restoring a TPU-written soak checkpoint on CPU).
+    On that failure, rebuild an abstract target from the stored tree
+    metadata with a concrete local sharding and restore onto the default
+    device of THIS runtime."""
+    import jax
+    from jax.sharding import SingleDeviceSharding
+
+    try:
+        return ckptr.restore(path)
+    except ValueError:
+        sh = SingleDeviceSharding(jax.local_devices()[0])
+        target = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sh),
+            ckptr.metadata(path).item_metadata)
+        return ckptr.restore(path, target=target)
+
+
 def load_checkpoint(path: str, like: Optional[Dict[str, Any]] = None,
                     partial: bool = False) -> Dict[str, Any]:
     """Restore a pytree; when `like` is given, restores with matching
@@ -89,9 +113,9 @@ def load_checkpoint(path: str, like: Optional[Dict[str, Any]] = None,
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     if like is None:
-        return ckptr.restore(path)
+        return _raw_restore(ckptr, path)
     if partial:
-        full = ckptr.restore(path)
+        full = _raw_restore(ckptr, path)
         missing = [k for k in like if k not in full]
         if missing:
             raise KeyError(f"checkpoint {path} lacks keys {missing}; "
@@ -102,7 +126,7 @@ def load_checkpoint(path: str, like: Optional[Dict[str, Any]] = None,
         return ckptr.restore(path, target=like)
     except Exception:
         # legacy layout (pre-qkv-fusion): raw-restore, migrate, re-fit
-        full = ckptr.restore(path)
+        full = _raw_restore(ckptr, path)
         return _cast_like(like, migrate_legacy_qkv(full))
 
 

@@ -355,8 +355,13 @@ def prepare_dataloader(args, split: str, transform=None):
             ds = TestDataset(names, caps, vocab=vocab, args=args, split=split,
                              synthetic=synthetic)
 
-    if synthetic and split in ("test", "valid") and args.is_ident:
-        # synthetic pair groups: genuine pair at column 0 of each 4-pair group
+    if (split in ("test", "valid") and args.is_ident
+            and getattr(ds, "synthetic_pairs", synthetic)):
+        # synthetic pair groups: genuine pair at column 0 of each 4-pair
+        # group. Only when the pairs THEMSELVES are synthetic — a real
+        # pair list under synthetic images (protocol-scale runs) keeps the
+        # caller's test_sub (it was clobbered to len//4 before r5, turning
+        # the 300-wide identification groups into garbage 4-wide ones)
         args.test_sub = len(ds) // 4
 
     if split == "train":
