@@ -127,7 +127,14 @@ def test_extract_embeddings_cli_deterministic(tmp_path):
         r = subprocess.run(
             [sys.executable, "src/extract_embeddings.py", "--cfg",
              "cfg/test.yml", "--synthetic", "--cpu", "--bert_type",
-             "groupvit", "--out", str(out)],
+             "groupvit", "--out", str(out),
+             # hermetic against artifacts at cfg/test.yml's DEFAULT
+             # checkpoint paths: a real (bert) checkpoint there must not
+             # be loaded into this groupvit run (a full-schedule soak
+             # populating ./checkpoints broke exactly this)
+             "--text_encoder_path", str(tmp_path / "absent_te"),
+             "--image_encoder_path", str(tmp_path / "absent_ie"),
+             "--fusion_net_path", str(tmp_path / "absent_fu")],
             cwd=repo, capture_output=True, text=True, timeout=900)
         assert r.returncode == 0, r.stderr[-2000:]
         runs.append(np.load(out))
