@@ -14,15 +14,17 @@ k=4 vs k=24), which (a) cancels dispatch/readiness overhead exactly and
 Python loop of async dispatches returns before chained executions retire
 (it under-reported this step ~5x; see docs/BENCHMARKS.md "Methodology").
 
-Prints SIX JSON lines (one per perf surface; VERDICT r3 #5 + r4 #1/#6): the
-stage-1 production-batch config (B=64, the measured throughput sweet spot,
-validated by the learning curve behind cfg/train_bert_b64.yml), stage-2
-FCFM-BERT train step (reference batch 16) AND the validated production
-batch (B=128, cfg/fusion_bert_b128.yml), the fused verification forward at
-the measured 256-pair eval recommendation, the FULL reference eval protocol
-at its real size (357,900 pairs / 1,193 subjects, table mode + rank-1
-identification — tools/bench_full_protocol.py), and LAST the flagship
-stage-1 line {"metric", "value", "unit", "vs_baseline"} (last so the
+Prints SEVEN JSON lines (one per perf surface; VERDICT r3 #5 + r4 #1/#6/#7):
+the stage-1 production-batch config (B=64, the measured throughput sweet
+spot, validated by the learning curve behind cfg/train_bert_b64.yml),
+stage-2 FCFM-BERT train step (reference batch 16) AND the validated
+production batch (B=128, cfg/fusion_bert_b128.yml), the fused verification
+forward at the measured 256-pair eval recommendation, the FULL reference
+eval protocol at its real size (357,900 pairs / 1,193 subjects, table mode
++ rank-1 identification — tools/bench_full_protocol.py), serving latency
+of the fused-embedding extraction path at the B=64 serving batch
+(tools/bench_serving_latency.py), and LAST the flagship stage-1 line
+{"metric", "value", "unit", "vs_baseline"} (last so the
 driver's single-line parse keeps recording the headline metric). The
 flagship is MEASURED first — in a long-lived process later measurements
 inherit a churned host (the bench_all.py caveat) — and printed last.
@@ -340,6 +342,14 @@ def _secondary_surfaces(trainer, frozen, fresh, rng, ks, args):
         _os.path.abspath(__file__)), "tools"))
     import bench_full_protocol
     bench_full_protocol.run(skip_pair=True)
+
+    # ---- serving latency of the fused-embedding extraction path (VERDICT
+    # r4 #7): engine/evaluate._embed_batch at the B=64 serving batch —
+    # compute-only chained marginal + fenced through-tunnel wall p50
+    # (docs/BENCHMARKS.md "Serving latency"). Cache is already configured
+    # by this process.
+    import bench_serving_latency
+    bench_serving_latency.run(batches="64", wall_calls=12, setup_cache=False)
 
 
 if __name__ == "__main__":

@@ -32,21 +32,23 @@ if ROOT not in sys.path:
     sys.path.insert(0, ROOT)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batches", type=str, default="1,8,64")
-    ap.add_argument("--wall-calls", type=int, default=30)
-    ap.add_argument("--cpu", action="store_true")
-    a = ap.parse_args()
+def run(batches: str = "1,8,64", wall_calls: int = 30, cpu: bool = False,
+        setup_cache: bool = True):
+    """Measure and print one JSON line per batch size in `batches`.
 
+    Callable from bench.py (driver line, warm-cache B=64) as well as the
+    CLI below; `setup_cache=False` when the caller already configured the
+    persistent compile cache."""
     import jax
-    if a.cpu:
+    if cpu:
         jax.config.update("jax_platforms", "cpu")
-    from text_guided_face_recognition_tpu.utils.cache import (
-        enable_compile_cache)
-    # cpu_policy="off": CPU AOT cache entries can SIGILL across virtualized
-    # host identities (utils/cache.py docstring); TPU keeps the tunnel cache
-    enable_compile_cache(cpu_policy="off")
+    if setup_cache:
+        from text_guided_face_recognition_tpu.utils.cache import (
+            enable_compile_cache)
+        # cpu_policy="off": CPU AOT cache entries can SIGILL across
+        # virtualized host identities (utils/cache.py docstring); TPU keeps
+        # the tunnel cache
+        enable_compile_cache(cpu_policy="off")
     import jax.numpy as jnp
     import numpy as np
 
@@ -78,13 +80,13 @@ def main():
         return ev._embed_batch(*statics, fv, iv, tp, hp, fuv, im, c, m)
 
     rng = np.random.default_rng(0)
-    for B in [int(x) for x in a.batches.split(",")]:
+    for B in [int(x) for x in batches.split(",")]:
         img = jnp.asarray(rng.normal(size=(B, 112, 112, 3)).astype(np.float32))
         caps = jnp.asarray(rng.integers(1000, 30000, (B, 24)).astype(np.int32))
         mask = jnp.ones((B, 24), jnp.int32)
 
         # compute-only (chained marginal; median-of-repeats inside)
-        ks = (2, 6) if a.cpu else (4, 44)
+        ks = (2, 6) if cpu else (4, 44)
         ms_compute = time_chained_forward(
             embed_img_first, (img, caps, mask) + var_args,
             ks=ks, repeats=5)
@@ -93,7 +95,7 @@ def main():
         out = embed_img_first(img, caps, mask, *var_args)
         float(jnp.sum(out))  # warm + fence
         walls = []
-        for _ in range(a.wall_calls):
+        for _ in range(wall_calls):
             t0 = time.perf_counter()
             out = embed_img_first(img, caps, mask, *var_args)
             _ = float(jnp.sum(out))  # VALUE fetch = execution fence
@@ -108,6 +110,15 @@ def main():
                     "through-tunnel)",
             "embeddings_per_sec_compute": round(B / ms_compute * 1000.0, 1),
         }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=str, default="1,8,64")
+    ap.add_argument("--wall-calls", type=int, default=30)
+    ap.add_argument("--cpu", action="store_true")
+    a = ap.parse_args()
+    run(batches=a.batches, wall_calls=a.wall_calls, cpu=a.cpu)
 
 
 if __name__ == "__main__":
