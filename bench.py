@@ -213,13 +213,15 @@ def main():
     # succeed or die, so the driver's parse-the-final-JSON-line contract
     # holds and the already-measured flagship is never discarded.
     try:
-        _secondary_surfaces(trainer, frozen, fresh, rng, ks, args)
+        _secondary_surfaces(trainer, frozen, fresh, rng, ks, args,
+                            force_cpu=force_cpu)
     finally:
         # flagship LAST: the driver parses the final JSON line as headline
         print(flagship_line)
 
 
-def _secondary_surfaces(trainer, frozen, fresh, rng, ks, args):
+def _secondary_surfaces(trainer, frozen, fresh, rng, ks, args,
+                        force_cpu=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -341,15 +343,20 @@ def _secondary_surfaces(trainer, frozen, fresh, rng, ks, args):
     sys.path.insert(0, _os.path.join(_os.path.dirname(
         _os.path.abspath(__file__)), "tools"))
     import bench_full_protocol
-    bench_full_protocol.run(skip_pair=True)
+    # --cpu: the full 1,193-subject table would grind for ages on the
+    # 1-core host — shrink to a smoke-scale protocol (same code path)
+    bench_full_protocol.run(skip_pair=True,
+                            **({"n_subjects": 24, "n_imposters": 11,
+                                "batch_size": 32} if force_cpu else {}))
 
     # ---- serving latency of the fused-embedding extraction path (VERDICT
     # r4 #7): engine/evaluate._embed_batch at the B=64 serving batch —
     # compute-only chained marginal + fenced through-tunnel wall p50
     # (docs/BENCHMARKS.md "Serving latency"). Cache is already configured
-    # by this process.
+    # by this process; cpu propagates the short chain ks.
     import bench_serving_latency
-    bench_serving_latency.run(batches="64", wall_calls=12, setup_cache=False)
+    bench_serving_latency.run(batches="64", wall_calls=12, setup_cache=False,
+                              cpu=force_cpu)
 
 
 if __name__ == "__main__":

@@ -43,9 +43,18 @@ def test_two_process_pod_executes_multihost_branches():
         env=env, cwd=ROOT, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True) for pid in (0, 1)]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        # a hung worker (e.g. jax.distributed.initialize stalling because
+        # its peer died pre-join) must not orphan a 2-process Gloo pod
+        # pinning the coordinator port and the host's only core
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, \
             f"worker {pid} failed (rc={p.returncode}):\n{out[-4000:]}"

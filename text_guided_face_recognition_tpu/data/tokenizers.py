@@ -154,6 +154,7 @@ def get_bert_tokenizer(args):
         return encode
     except Exception as e:  # offline / not cached
         hf_err = f"{type(e).__name__}"
+    wp_why = "no caption corpus to train WordPiece on"
     try:
         from text_guided_face_recognition_tpu.data import wordpiece
         wp = wordpiece.load_or_train(args.data_dir, vocab_size=arch_vocab)
@@ -163,13 +164,18 @@ def get_bert_tokenizer(args):
                 "using corpus-trained WordPiece vocab "
                 f"({wp.vocab_size} pieces, {wp.vocab_path})")
             return wp
+        if wp is not None:
+            # a pre-built wordpiece_vocab.txt in this data_dir is larger
+            # than this arch's embedding table — loading it would emit
+            # out-of-range token ids, but the user should be told the real
+            # reason, not 'no corpus'
+            wp_why = (f"existing WordPiece vocab {wp.vocab_path} has "
+                      f"{wp.vocab_size} pieces > arch vocab {arch_vocab}")
     except Exception as e:
-        warnings.warn(f"WordPiece fallback failed ({type(e).__name__}: {e}); "
-                      "using HashTokenizer")
+        wp_why = f"WordPiece fallback failed ({type(e).__name__}: {e})"
     warnings.warn(
-        f"HF tokenizer {name!r} unavailable offline ({hf_err}) and no "
-        "caption corpus to train WordPiece on; using deterministic "
-        "HashTokenizer fallback")
+        f"HF tokenizer {name!r} unavailable offline ({hf_err}) and "
+        f"{wp_why}; using deterministic HashTokenizer fallback")
     ht = HashTokenizer(arch_vocab)
     fn = lambda caption, max_length: ht(caption, max_length)  # noqa: E731
     fn.cache_tag = "-hash"

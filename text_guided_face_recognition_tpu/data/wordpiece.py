@@ -79,8 +79,13 @@ class WordPieceTokenizer:
 
 def _corpus_captions(data_dir: str) -> List[str]:
     """Every caption line of every split, in deterministic (split, name)
-    order, read the same way the dataset loaders do
-    (data/datasets.load_captions / _read_caption_file)."""
+    order, read through data/datasets._read_caption_file — the SAME parser
+    the dataset loaders use, so the trained vocab can never diverge from
+    the text actually encoded."""
+    # local import: datasets -> tokenizers -> (lazily) this module
+    from text_guided_face_recognition_tpu.data.datasets import (
+        _read_caption_file)
+
     caps: List[str] = []
     for split in ("train", "valid", "test"):
         path = os.path.join(data_dir, split, "filenames.pickle")
@@ -89,11 +94,10 @@ def _corpus_captions(data_dir: str) -> List[str]:
         with open(path, "rb") as f:
             names = list(pickle.load(f))
         for name in sorted(names):
-            cap_path = os.path.join(data_dir, "text", str(name) + ".txt")
-            if not os.path.isfile(cap_path):
+            if not os.path.isfile(
+                    os.path.join(data_dir, "text", str(name) + ".txt")):
                 continue
-            with open(cap_path, "r") as f:
-                caps.extend(c for c in f.read().split("\n") if c)
+            caps.extend(_read_caption_file(data_dir, str(name)))
     return caps
 
 

@@ -79,11 +79,13 @@ def _build_pair_list(names, n_imposters: int, out_path: str, seed=100):
         by_id[n.split("/")[0]].append(os.path.basename(n) + ".jpg")
     idents = sorted(by_id, key=lambda s: int(s) if s.isdigit() else s)
     lines = []
+    n_emitted = 0
     for i, ident in enumerate(idents):
         mine = sorted(by_id[ident],
                       key=lambda x: int(x.split(".")[0].split("_")[-1]))
         if len(mine) < 2:
             continue
+        n_emitted += 1
         anchor = mine[0]
         lines.append(f"{anchor} {mine[1]} 1")
         # reference: imposters are the FIRST n_imposters OTHER subjects in
@@ -94,13 +96,19 @@ def _build_pair_list(names, n_imposters: int, out_path: str, seed=100):
             lines.append(f"{anchor} {rng.choice(by_id[o])} 0")
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
-    return len(lines), len(idents)
+    # test_sub must count only subjects that EMITTED a pair group: a
+    # single-image subject contributes zero lines, and counting it would
+    # shift calculate_identification_acc's (test_sub, pairs_each) reshape
+    # off every subsequent group
+    return len(lines), n_emitted
 
 
 def _make_dataset(args, names, use_real):
     """TestDataset over the protocol corpus: real captions when staged
-    (tokenized through data/tokenizers.get_bert_tokenizer — HashTokenizer
-    offline), synthetic token ids otherwise; images synthetic either way."""
+    (tokenized through data/tokenizers.get_bert_tokenizer with the STAGED
+    corpus as data_dir, so the offline chain reaches the corpus-trained
+    WordPiece vocab rather than falling to HashTokenizer), synthetic token
+    ids otherwise; images synthetic either way."""
     import numpy as np
     from text_guided_face_recognition_tpu.data.datasets import (
         TestDataset, _read_caption_file)
@@ -109,9 +117,9 @@ def _make_dataset(args, names, use_real):
 
     caps, masks = [], []
     if use_real:
-        encode = get_bert_tokenizer(args)
+        encode = get_bert_tokenizer(args.replace(data_dir=STAGED))
         for name in names:
-            got = 0
+            got, first = 0, len(caps)
             for cap in _read_caption_file(STAGED, name):
                 ids, m = encode(cap, args.bert_words_num)
                 caps.append(ids)
@@ -119,9 +127,13 @@ def _make_dataset(args, names, use_real):
                 got += 1
                 if got == args.captions_per_image:
                     break
-            while got < args.captions_per_image:  # replicate last
-                caps.append(caps[-1])
-                masks.append(masks[-1])
+            if got == 0:
+                raise ValueError(
+                    f"staged corpus has no captions for {name!r} "
+                    f"({STAGED}/text/{name}.txt is empty)")
+            while got < args.captions_per_image:  # replicate own first
+                caps.append(caps[first])
+                masks.append(masks[first])
                 got += 1
     else:
         rng = np.random.default_rng(0)
